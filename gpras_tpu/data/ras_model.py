@@ -1,0 +1,316 @@
+"""HEC-RAS model handle: read plan/geometry HDF5s, mutate the project.
+
+Capability parity with the reference ``RasModel`` (gpras/ras/model.py:28-207),
+which subclasses hecstac's STAC item and reads HDF through rashdf. Neither
+hecstac nor rashdf ships here, so this is a direct h5py implementation over the
+real HEC-RAS HDF layout:
+
+- results:  /Results/Unsteady/Output/Output Blocks/Base Output/Unsteady Time
+  Series/2D Flow Areas/{mesh}/{Water Surface | Cell Velocity - Velocity X/Y}
+- time:     .../Unsteady Time Series/Time Date Stamp
+- geometry: Geometry/2D Flow Areas/{mesh}/{Cells Minimum Elevation | Cells
+  Surface Area | Cells FacePoint Indexes | FacePoints Coordinate}
+- precip:   /Event Conditions/Meteorology/Precipitation (attrs + Values/Timestamp)
+
+Model mutation (append plans/flows, .prj registration, suffix increments,
+encoding/newline-preserving text patching) mirrors gpras/ras/model.py:31-94 and
+183-207.
+"""
+
+from __future__ import annotations
+
+import json
+import shutil
+from functools import cached_property
+from pathlib import Path
+from typing import Any
+
+import h5py
+import numpy as np
+import pandas as pd
+
+from gpras_tpu.data.geometry import CellMesh
+from gpras_tpu.utils.file_utils import detect_file_properties, get_filename
+
+RESULTS_TS_ROOT = "Results/Unsteady/Output/Output Blocks/Base Output/Unsteady Time Series"
+TIME_STAMP_PATH = f"{RESULTS_TS_ROOT}/Time Date Stamp"
+PLAN_INFO_PATH = "Plan Data/Plan Information"
+PRECIP_PATH = "Event Conditions/Meteorology/Precipitation"
+REFERENCE_LINES_PATH = f"{RESULTS_TS_ROOT}/Reference Lines"
+BC_PATH = f"{RESULTS_TS_ROOT}/Boundary Conditions"
+
+
+def _decode(v: Any) -> Any:
+    if isinstance(v, bytes):
+        return v.decode("utf-8", errors="replace")
+    return v
+
+
+class PlanHdf:
+    """One plan's HDF5 results file."""
+
+    def __init__(self, path: str | Path):
+        self.path = Path(path)
+
+    @cached_property
+    def _h5(self) -> h5py.File:
+        return h5py.File(self.path, "r")
+
+    def get(self, key: str) -> h5py.Dataset:
+        return self._h5[key.lstrip("/")]
+
+    def attrs(self, group: str) -> dict[str, Any]:
+        return {k: _decode(v) for k, v in self._h5[group.lstrip("/")].attrs.items()}
+
+    @cached_property
+    def plan_name(self) -> str:
+        info = self.attrs(PLAN_INFO_PATH)
+        return str(info.get("Plan Name", self.path.stem))
+
+    @cached_property
+    def geometry_title(self) -> str:
+        info = self.attrs(PLAN_INFO_PATH)
+        return str(info.get("Geometry Title", ""))
+
+    def mesh_timeseries_output(self, mesh_id: str, variable: str) -> np.ndarray:
+        """(timesteps, cells) array for a mesh output variable — the surface the
+        reference reaches via rashdf (gpras/preprocess.py:168-172)."""
+        return self.get(f"{RESULTS_TS_ROOT}/2D Flow Areas/{mesh_id}/{variable}")[:]
+
+    def timestamps(self) -> pd.DatetimeIndex:
+        stamps = self.get(TIME_STAMP_PATH)[:].astype(str)
+        return pd.to_datetime(stamps, format="%d%b%Y %H:%M:%S")
+
+
+class RasModel:
+    """A HEC-RAS project: plan/geometry HDF files + text files + .prj."""
+
+    def __init__(self, prj_path: str | Path, assets: dict[str, str] | None = None):
+        """``assets`` maps filename -> path; discovered from the project dir if
+        not given (every sibling file sharing the project stem)."""
+        self.prj_path = Path(prj_path)
+        self.model_root_dir = self.prj_path.parent
+        self.id = self.prj_path.stem
+        if assets is None:
+            assets = {
+                p.name: str(p)
+                for p in sorted(self.model_root_dir.glob(f"{self.id}.*"))
+            }
+        self.assets = dict(assets)
+
+    # ------------------------------------------------------------- constructors
+
+    @classmethod
+    def from_stac(cls, stac_path: str | Path) -> "RasModel":
+        """Build from a STAC item json (assets' hrefs), the reference's loading
+        path (data_models.py:299-313). Relative hrefs resolve against the STAC
+        file's directory."""
+        stac_path = Path(stac_path)
+        with open(stac_path) as f:
+            item = json.load(f)
+        assets = {}
+        prj = None
+        for name, asset in item.get("assets", {}).items():
+            href = asset["href"]
+            p = Path(href)
+            if not p.is_absolute():
+                p = (stac_path.parent / p).resolve()
+            assets[Path(name).name] = str(p)
+            if str(p).endswith(".prj"):
+                prj = p
+        if prj is None:
+            # fall back: project file next to the stac json
+            hits = list(stac_path.parent.glob("*.prj"))
+            if not hits:
+                raise FileNotFoundError(f"No .prj asset found in {stac_path}")
+            prj = hits[0]
+        return cls(prj, assets)
+
+    def to_stac(self, out_path: str | Path) -> None:
+        """Write a minimal STAC item json for this model (the capability of
+        production/pre_processing/make_ras_stac.py:6-13)."""
+        item = {
+            "type": "Feature",
+            "stac_version": "1.0.0",
+            "id": self.id,
+            "geometry": None,
+            "properties": {"datetime": None},
+            "links": [],
+            "assets": {
+                name: {"href": str(path), "title": name}
+                for name, path in self.assets.items()
+            },
+        }
+        with open(out_path, "w") as f:
+            json.dump(item, f, indent=2)
+
+    # ------------------------------------------------------------------ readers
+
+    @cached_property
+    def plan_hdfs(self) -> dict[str, PlanHdf]:
+        """plan name -> PlanHdf (reference gpras/ras/model.py:106-113)."""
+        out = {}
+        for name, path in self.assets.items():
+            if ".p" in name and name.endswith(".hdf"):
+                ph = PlanHdf(path)
+                try:
+                    out[ph.plan_name] = ph
+                except Exception:
+                    continue
+        return out
+
+    @cached_property
+    def geometry_hdfs(self) -> dict[str, PlanHdf]:
+        """geometry title -> handle (reference gpras/ras/model.py:115-122)."""
+        out = {}
+        for name, path in self.assets.items():
+            if ".g" in name and name.endswith(".hdf"):
+                gh = PlanHdf(path)
+                try:
+                    title = gh.attrs("Geometry").get("Title", Path(path).stem)
+                except KeyError:
+                    title = Path(path).stem
+                out[title] = gh
+        return out
+
+    def get_cell_minimum_elevation(self, plan: str, mesh_id: str) -> np.ndarray:
+        """Per-cell min elevation, NaN ghost cells dropped
+        (reference gpras/ras/model.py:124-130)."""
+        ds = self.plan_hdfs[plan].get(f"Geometry/2D Flow Areas/{mesh_id}/Cells Minimum Elevation")[:]
+        return ds[~np.isnan(ds)]
+
+    def get_cell_areas(self, plan: str, mesh_id: str) -> np.ndarray:
+        """Per-cell surface area, NaN/zero ghost cells dropped
+        (reference gpras/ras/model.py:153-166)."""
+        ds = self.plan_hdfs[plan].get(f"Geometry/2D Flow Areas/{mesh_id}/Cells Surface Area")[:]
+        return ds[(~np.isnan(ds)) & (~np.isclose(ds, 0, atol=1e-3))]
+
+    def get_plan_wsels(self, plans: list[str], mesh_id: str) -> pd.DataFrame:
+        """(run, t)-indexed WSE frame (reference gpras/ras/model.py:132-144)."""
+        store = []
+        for p in plans:
+            wse = self.plan_hdfs[p].mesh_timeseries_output(mesh_id, "Water Surface")
+            df = pd.DataFrame(wse)
+            df["run"] = p
+            df["t"] = df.index.to_list()
+            store.append(df)
+        return pd.concat(store).set_index(["run", "t"])
+
+    def get_plan_depths(self, plans: list[str], mesh_id: str) -> pd.DataFrame:
+        """WSE minus per-cell minimum elevation (reference gpras/ras/model.py:146-151)."""
+        elevations = self.get_cell_minimum_elevation(plans[0], mesh_id)
+        return self.get_plan_wsels(plans, mesh_id) - elevations
+
+    def get_plan_geometry(self, plans: list[str], mesh_id: str) -> CellMesh:
+        """Mesh cell polygons for the (single) geometry behind ``plans``
+        (reference gpras/ras/model.py:168-174, including the single-geometry
+        assertion). Reads from the geometry HDF when present, else the plan HDF."""
+        titles = [self.plan_hdfs[p].geometry_title for p in plans if p in self.plan_hdfs]
+        assert all(t == titles[0] for t in titles), "Multiple geometries found in the model runs."
+        handle = self.geometry_hdfs.get(titles[0]) or self.plan_hdfs[plans[0]]
+        root = f"Geometry/2D Flow Areas/{mesh_id}"
+        fpi = handle.get(f"{root}/Cells FacePoint Indexes")[:]
+        pts = handle.get(f"{root}/FacePoints Coordinate")[:]
+        return CellMesh(cell_ids=np.arange(fpi.shape[0]), face_point_indexes=fpi,
+                        face_points=pts)
+
+    def get_precip_attributes(self, plan: str) -> dict[str, Any]:
+        """Precip raster attrs (reference gpras/ras/model.py:176-180)."""
+        return self.plan_hdfs[plan].attrs(PRECIP_PATH)
+
+    # ----------------------------------------------------------------- mutation
+
+    @property
+    def plan_files(self) -> list[str]:
+        return [p for n, p in self.assets.items()
+                if n.split(".")[-1].startswith("p") and not n.endswith(".hdf")
+                and n.split(".")[-1][1:].isdigit()]
+
+    @property
+    def unsteady_flow_files(self) -> list[str]:
+        return [p for n, p in self.assets.items()
+                if n.split(".")[-1].startswith("u") and n.split(".")[-1][1:].isdigit()]
+
+    def increment_suffix(self, paths: list[str], suffix_letter: str) -> str:
+        """Next free pXX/uXX filename (reference gpras/ras/model.py:83-94)."""
+        used = set()
+        for p in paths:
+            suffix = get_filename(p).split(".")[-1]
+            assert suffix[0] == suffix_letter, f"Mismatched file types in {paths}"
+            used.add(int(suffix[1:]))
+        ind = 1
+        while ind in used:
+            ind += 1
+        return str(self.model_root_dir / f"{self.id}.{suffix_letter}{str(ind).zfill(2)}")
+
+    def add_text_file(self, file) -> str:
+        """Write a flow/plan text file under the next suffix and register it in
+        the .prj (reference gpras/ras/model.py:63-81)."""
+        from gpras_tpu.data.flow_file import UnsteadyFlowFile
+        from gpras_tpu.data.plan_file import PlanFile
+
+        if isinstance(file, UnsteadyFlowFile):
+            line_base = "Unsteady File={}"
+            existing = self.unsteady_flow_files
+            letter = "u"
+        elif isinstance(file, PlanFile):
+            line_base = "Plan File={}"
+            existing = self.plan_files
+            letter = "p"
+        else:
+            raise TypeError(f"Cannot register {type(file)} in a RAS project")
+        new_path = self.increment_suffix(existing, letter)
+        file.to_file(new_path)
+        add_file_to_prj_file(str(self.prj_path), line_base.format(new_path.split(".")[-1]))
+        self.assets[Path(new_path).name] = new_path
+        return new_path
+
+    def make_new_plan(self, template_run: str, plan_attrs: dict[str, Any],
+                      boundary_conditions: list) -> tuple[str, str]:
+        """Clone a template plan (hdf + txt), patch attrs, write BC datasets,
+        register in the project (reference gpras/ras/model.py:31-61)."""
+        from gpras_tpu.data.plan_file import update_hdf_attributes, update_hdf_data
+
+        src_path = self.assets[template_run]
+        new_run = self.increment_suffix(self.plan_files, "p")
+        dst_path = new_run + ".hdf"
+        src_txt = src_path.replace(".hdf", "")
+        shutil.copy(src_path, dst_path)
+        shutil.copy(src_txt, new_run)
+        update_hdf_attributes(dst_path, PLAN_INFO_PATH, plan_attrs["hdf"])
+        update_text_attributes(new_run, plan_attrs["txt"])
+        add_file_to_prj_file(str(self.prj_path), f"Plan File={new_run.split('.')[-1]}")
+        for bc in boundary_conditions:
+            update_hdf_data(dst_path, bc.path, bc.data)
+        self.assets[Path(dst_path).name] = dst_path
+        self.assets[Path(new_run).name] = new_run
+        return dst_path, new_run
+
+
+def add_file_to_prj_file(prj_path: str, file_row: str) -> None:
+    """Insert a 'Plan File=pXX'-style row after the last row with the same key,
+    preserving encoding and newline convention (reference gpras/ras/model.py:183-192)."""
+    encoding, newline = detect_file_properties(prj_path)
+    with open(prj_path, encoding=encoding) as f:
+        lines = f.readlines()
+    key = file_row.split("=")[0]
+    last = max((i for i, line in enumerate(lines) if line.startswith(key)),
+               default=len(lines) - 1)
+    lines.insert(last + 1, file_row + "\n")
+    with open(prj_path, "w", encoding=encoding, newline=newline) as f:
+        f.writelines(lines)
+
+
+def update_text_attributes(txt_path: str, attrs: dict[str, str]) -> None:
+    """Patch key=value rows in a RAS text file in place, preserving encoding and
+    newlines (reference gpras/ras/model.py:195-207)."""
+    encoding, newline = detect_file_properties(txt_path)
+    with open(txt_path, encoding=encoding) as f:
+        lines = f.readlines()
+    for ind, line in enumerate(lines):
+        parts = line.rstrip("\n").split("=")
+        key = "=".join(parts[:-1])
+        if key in attrs:
+            lines[ind] = f"{key}={attrs[key]}\n"
+    with open(txt_path, "w", encoding=encoding, newline=newline) as f:
+        f.writelines(lines)

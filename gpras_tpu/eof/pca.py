@@ -1,0 +1,58 @@
+"""PCA/EOF decomposition on device, replacing sklearn's (Incremental)PCA.
+
+The reference fits ``IncrementalPCA`` on the centered, area-weighted wet-cell
+field (gpras/preprocess.py:989-990) and on the precip grid
+(gpras/preprocess.py:1235). Outputs consumed downstream are ``components_``,
+``explained_variance_`` and ``n_samples_seen_`` (gpras/preprocess.py:1000-1002).
+
+TPU-first: instead of LAPACK SVD of the (samples, cells) matrix we eigendecompose
+the smaller Gram side — for cells >> samples that is the (S, S) sample Gram
+``x x^T`` (one MXU matmul + small eigh), and the spatial EOFs come back via one
+(C, S) @ (S, k) matmul. This scales to very large cell counts with O(S^2) device
+memory for the decomposition; the sharded multi-chip variant lives in
+``gpras_tpu.parallel.ppca``.
+
+Sign convention: like sklearn's ``svd_flip``, each component's largest-|loading|
+entry is made positive, so results are comparable across backends.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+Array = jax.Array
+
+
+@partial(jax.jit, static_argnums=(1,))
+def pca_fit(x: Array, n_components: int | None = None) -> tuple[Array, Array]:
+    """PCA of pre-centered ``x`` (samples, features).
+
+    Returns (components (k, features), explained_variance (k,)) with
+    ``explained_variance = eigenvalue / (n_samples - 1)`` (sklearn convention).
+    ``n_components`` defaults to min(S, F) (all of them).
+    """
+    s, f = x.shape
+    k = min(s, f) if n_components is None else min(n_components, min(s, f))
+    if s <= f:
+        # Gram trick: eigh of (S, S) sample Gram
+        g = jnp.matmul(x, x.T, preferred_element_type=x.dtype)
+        evals, evecs = jnp.linalg.eigh(g)  # ascending
+        evals = evals[::-1][:k]
+        u = evecs[:, ::-1][:, :k]  # (S, k)
+        sigma = jnp.sqrt(jnp.maximum(evals, 1e-30))
+        comps = (x.T @ (u / sigma[None, :])).T  # (k, F): V^T rows
+    else:
+        # covariance trick: eigh of (F, F)
+        c = jnp.matmul(x.T, x, preferred_element_type=x.dtype)
+        evals, evecs = jnp.linalg.eigh(c)
+        evals = evals[::-1][:k]
+        comps = evecs[:, ::-1][:, :k].T  # (k, F)
+    explained = jnp.maximum(evals, 0.0) / (s - 1)
+    # svd_flip sign convention: largest-|entry| positive per component
+    idx = jnp.argmax(jnp.abs(comps), axis=1)
+    signs = jnp.sign(comps[jnp.arange(comps.shape[0]), idx])
+    signs = jnp.where(signs == 0, 1.0, signs)
+    return comps * signs[:, None], explained

@@ -1,0 +1,378 @@
+"""Optimizer zoo: fully-jitted drivers over a GP training loss.
+
+Capability parity with the reference's seven hyperparameter-optimization
+strategies (reference gpras/gpr.py:206-214):
+
+- ``adam``                  — Adam with the reference's early-stop semantics
+                              (rel-improvement tol 1e-5, patience 50,
+                              gpras/gpr.py:147-173), as a ``lax.while_loop``.
+- ``adadelta``              — fixed-iteration Adadelta (gpras/gpr.py:176-192).
+- ``L-BFGS-B``              — L-BFGS with zoom line search (optax), replacing the
+                              scipy bridge (gpras/gpr.py:195-203).
+- ``two-stage``             — Adam on inducing Z only, then Adam on the remaining
+                              hyperparameters with Z frozen (gpras/gpr.py:112-127).
+                              Freezing is a gradient mask, not object mutation.
+- ``three-stage``           — Adam on Z, L-BFGS on hypers, L-BFGS polish on all
+                              (gpras/gpr.py:130-144).
+- ``stochastic``            — multi-start: 40 random restarts in log10 space
+                              ([-1,1] variance, [-1,1] lengthscale, [-3,0] noise),
+                              short Adam each, keep the best, L-BFGS polish
+                              (gpras/gpr.py:73-109). The restarts run **vmapped in a
+                              single jit** instead of a Python loop. (The reference
+                              has a bug where ``best_loss`` is never updated so the
+                              last restart always wins, gpras/gpr.py:96-102; we
+                              implement the intended keep-the-best behavior.)
+- ``diffential_evolution``  — [sic, reference key] Adam on Z first, then
+                              differential evolution over log10 hyperparameters with
+                              bounds [(-1,1),(-1,1),(-3,0)] (gpras/gpr.py:44-70).
+                              The population evaluates **vmapped** per generation.
+
+All drivers operate on ``loss_fn(params) -> scalar`` over an unconstrained param
+dict, so they compose with both the exact-GP NLML and the SGPR ELBO, and with any
+kernel in the zoo. Everything data-dependent (early stop, convergence) is
+``lax.while_loop`` state — no per-step Python, no host sync inside a fit.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Any, Callable
+
+import jax
+import jax.numpy as jnp
+import optax
+
+Array = jax.Array
+Params = dict[str, Array]
+LossFn = Callable[[Params], Array]
+
+LN10 = math.log(10.0)
+
+#: Structural (non-trainable) parameter keys, excluded from every gradient mask.
+NON_TRAINABLE = ("degree",)
+
+
+# ---------------------------------------------------------------------------
+# gradient masks (the TPU-native replacement for gpflow.set_trainable mutation)
+# ---------------------------------------------------------------------------
+
+def mask_only(params: Params, keys: tuple[str, ...]) -> Params:
+    """Mask that trains only ``keys``."""
+    return {k: jnp.asarray(float(k in keys and k not in NON_TRAINABLE)) for k in params}
+
+
+def mask_except(params: Params, keys: tuple[str, ...] = ()) -> Params:
+    """Mask that trains everything except ``keys`` (and structural constants)."""
+    return {k: jnp.asarray(float(k not in keys and k not in NON_TRAINABLE)) for k in params}
+
+
+def _apply_mask(grads: Params, mask: Params | None) -> Params:
+    if mask is None:
+        mask = {k: jnp.asarray(float(k not in NON_TRAINABLE)) for k in grads}
+    return {k: grads[k] * mask[k].astype(grads[k].dtype) for k in grads}
+
+
+# ---------------------------------------------------------------------------
+# Adam / Adadelta
+# ---------------------------------------------------------------------------
+
+def adam_fit(
+    loss_fn: LossFn,
+    params: Params,
+    max_iter: int = 100,
+    learning_rate: float = 0.001,
+    tol: float = 1e-5,
+    patience: int = 50,
+    mask: Params | None = None,
+) -> tuple[Params, dict[str, Array]]:
+    """Adam with the reference's early stopping (gpras/gpr.py:159-173).
+
+    Stops when the relative improvement over the best-seen loss has been below
+    ``tol`` for more than ``patience`` consecutive steps. Defaults mirror
+    tf.keras Adam (lr 0.001, eps 1e-7) and the reference's tol/patience.
+    """
+    opt = optax.adam(learning_rate, b1=0.9, b2=0.999, eps=1e-7)
+    vag = jax.value_and_grad(loss_fn)
+
+    def cond(state):
+        i, _, _, _, count, _ = state
+        return jnp.logical_and(i < max_iter, count <= patience)
+
+    def body(state):
+        i, p, opt_state, best, count, losses = state
+        loss, grads = vag(p)
+        grads = _apply_mask(grads, mask)
+        updates, opt_state = opt.update(grads, opt_state, p)
+        p = optax.apply_updates(p, updates)
+        improved = (best - loss) / jnp.abs(loss) > tol
+        best = jnp.where(improved, loss, best)
+        count = jnp.where(improved, 0, count + 1)
+        losses = losses.at[i].set(loss)
+        return i + 1, p, opt_state, best, count, losses
+
+    dtype = params[next(iter(params))].dtype
+    losses0 = jnp.full((max_iter,), jnp.nan, dtype=dtype)
+    init = (0, params, opt.init(params), jnp.asarray(jnp.inf, dtype), 0, losses0)
+    i, p, _, _, _, losses = jax.lax.while_loop(cond, body, init)
+    return p, {"iterations": i, "losses": losses, "loss": loss_fn(p)}
+
+
+def adadelta_fit(
+    loss_fn: LossFn,
+    params: Params,
+    max_iter: int = 100,
+    learning_rate: float = 0.001,
+    mask: Params | None = None,
+) -> tuple[Params, dict[str, Array]]:
+    """Fixed-iteration Adadelta, mirroring the reference's graph loop
+    (gpras/gpr.py:176-192; keras defaults lr 0.001, rho 0.95, eps 1e-7)."""
+    opt = optax.adadelta(learning_rate, rho=0.95, eps=1e-7)
+    vag = jax.value_and_grad(loss_fn)
+
+    def body(i, state):
+        p, opt_state, losses = state
+        loss, grads = vag(p)
+        grads = _apply_mask(grads, mask)
+        updates, opt_state = opt.update(grads, opt_state, p)
+        p = optax.apply_updates(p, updates)
+        return p, opt_state, losses.at[i].set(loss)
+
+    dtype = params[next(iter(params))].dtype
+    losses0 = jnp.full((max_iter,), jnp.nan, dtype=dtype)
+    p, _, losses = jax.lax.fori_loop(0, max_iter, body, (params, opt.init(params), losses0))
+    return p, {"iterations": jnp.asarray(max_iter), "losses": losses, "loss": loss_fn(p)}
+
+
+# ---------------------------------------------------------------------------
+# L-BFGS
+# ---------------------------------------------------------------------------
+
+def lbfgs_fit(
+    loss_fn: LossFn,
+    params: Params,
+    max_iter: int = 100,
+    memory_size: int = 15,
+    gtol: float = 1e-8,
+    mask: Params | None = None,
+) -> tuple[Params, dict[str, Array]]:
+    """Jitted L-BFGS with zoom line search — replaces the reference's
+    gpflow→scipy L-BFGS-B bridge (gpras/gpr.py:195-203), with no host round-trips.
+    """
+    if mask is None:
+        masked_loss = loss_fn
+    else:
+        frozen = {k: params[k] for k in params}
+
+        def masked_loss(p: Params) -> Array:
+            merged = {
+                k: p[k] * mask[k].astype(p[k].dtype)
+                + frozen[k] * (1.0 - mask[k]).astype(p[k].dtype)
+                for k in p
+            }
+            return loss_fn(merged)
+
+    opt = optax.lbfgs(memory_size=memory_size)
+    vag = optax.value_and_grad_from_state(masked_loss)
+
+    def cond(state):
+        i, _, _, err, _ = state
+        return jnp.logical_and(i < max_iter, err > gtol)
+
+    def body(state):
+        i, p, opt_state, _, losses = state
+        loss, grads = vag(p, state=opt_state)
+        updates, opt_state = opt.update(
+            grads, opt_state, p, value=loss, grad=grads, value_fn=masked_loss
+        )
+        p = optax.apply_updates(p, updates)
+        err = optax.tree_utils.tree_l2_norm(grads)
+        return i + 1, p, opt_state, err, losses.at[i].set(loss)
+
+    dtype = params[next(iter(params))].dtype
+    losses0 = jnp.full((max_iter,), jnp.nan, dtype=dtype)
+    init = (0, params, opt.init(params), jnp.asarray(jnp.inf, dtype), losses0)
+    i, p, _, _, losses = jax.lax.while_loop(cond, body, init)
+    if mask is not None:
+        p = {
+            k: p[k] * mask[k].astype(p[k].dtype)
+            + params[k] * (1.0 - mask[k]).astype(p[k].dtype)
+            for k in p
+        }
+    return p, {"iterations": i, "losses": losses, "loss": loss_fn(p)}
+
+
+# ---------------------------------------------------------------------------
+# staged schedules
+# ---------------------------------------------------------------------------
+
+def two_stage_fit(
+    loss_fn: LossFn, params: Params, max_iter: int = 100, **adam_kwargs: Any
+) -> tuple[Params, dict[str, Array]]:
+    """Adam on Z only, then Adam on all other params with Z frozen
+    (reference gpras/gpr.py:112-127)."""
+    p, _ = adam_fit(loss_fn, params, max_iter, mask=mask_only(params, ("z",)), **adam_kwargs)
+    p, info = adam_fit(loss_fn, p, max_iter, mask=mask_except(p, ("z",)), **adam_kwargs)
+    return p, info
+
+
+def three_stage_fit(
+    loss_fn: LossFn, params: Params, max_iter: int = 100
+) -> tuple[Params, dict[str, Array]]:
+    """Adam on Z, L-BFGS on hypers (Z frozen), L-BFGS polish on everything
+    (reference gpras/gpr.py:130-144)."""
+    p, _ = adam_fit(loss_fn, params, max_iter, mask=mask_only(params, ("z",)))
+    p, _ = lbfgs_fit(loss_fn, p, max_iter, mask=mask_except(p, ("z",)))
+    p, info = lbfgs_fit(loss_fn, p, max_iter)
+    return p, info
+
+
+# ---------------------------------------------------------------------------
+# multi-start ("stochastic")
+# ---------------------------------------------------------------------------
+
+def _sample_restart(key: Array, params: Params, x: Array | None) -> Params:
+    """One random restart in the reference's log10 sampling boxes
+    (gpras/gpr.py:87-91): variance 10^U(-1,1), lengthscale 10^U(-1,1) (scalar,
+    broadcast over ARD dims), noise 10^U(-3,0), Z ~ U(feature mins, maxs)."""
+    kv, kl, kn, kz = jax.random.split(key, 4)
+    out = dict(params)
+    dtype = params["log_variance"].dtype
+    out["log_variance"] = (jax.random.uniform(kv, (), dtype, -1.0, 1.0)) * LN10
+    if "log_lengthscales" in params:
+        ls = jax.random.uniform(kl, (), dtype, -1.0, 1.0) * LN10
+        out["log_lengthscales"] = jnp.full_like(params["log_lengthscales"], ls)
+    out["log_noise_variance"] = jax.random.uniform(kn, (), dtype, -3.0, 0.0) * LN10
+    if "z" in params and x is not None:
+        mins = jnp.min(x, axis=0)
+        maxs = jnp.max(x, axis=0)
+        u = jax.random.uniform(kz, params["z"].shape, dtype)
+        out["z"] = mins + u * (maxs - mins)
+    return out
+
+
+def multi_start_fit(
+    loss_fn: LossFn,
+    params: Params,
+    x: Array | None = None,
+    n_starts: int = 40,
+    iter_initial: int = 20,
+    iter_final: int = 1000,
+    seed: int = 1,
+) -> tuple[Params, dict[str, Array]]:
+    """Vmapped multi-start Adam, keep the best restart, L-BFGS polish
+    (reference "stochastic", gpras/gpr.py:73-109; np.random.seed(1) parity on the
+    seed default). All ``n_starts`` restarts run data-parallel in one jit."""
+    keys = jax.random.split(jax.random.PRNGKey(seed), n_starts)
+    starts = jax.vmap(lambda k: _sample_restart(k, params, x))(keys)
+
+    def short_fit(p: Params) -> tuple[Params, Array]:
+        p2, info = adam_fit(loss_fn, p, iter_initial)
+        return p2, info["loss"]
+
+    fitted, losses = jax.vmap(short_fit)(starts)
+    best = jnp.nanargmin(losses)
+    best_params = {k: v[best] for k, v in fitted.items()}
+    p, info = lbfgs_fit(loss_fn, best_params, iter_final)
+    info["restart_losses"] = losses
+    return p, info
+
+
+# ---------------------------------------------------------------------------
+# differential evolution
+# ---------------------------------------------------------------------------
+
+def de_fit(
+    loss_fn: LossFn,
+    params: Params,
+    popsize: int = 15,
+    max_iter: int = 500,
+    adam_iter: int = 3000,
+    tol: float = 0.01,
+    recombination: float = 0.7,
+    seed: int = 0,
+) -> tuple[Params, dict[str, Array]]:
+    """Adam on Z first, then differential evolution (best/1/bin with dithered
+    mutation, scipy-compatible defaults) over the three log10 hyperparameters with
+    bounds [(-1,1), (-1,1), (-3,0)] (reference gpras/gpr.py:44-70). Each
+    generation's population evaluates vmapped; lengthscales are assigned as a
+    scalar broadcast exactly like the reference's ``assign``.
+    """
+    if "z" in params:
+        params, _ = adam_fit(loss_fn, params, adam_iter, mask=mask_only(params, ("z",)))
+
+    lo = jnp.asarray([-1.0, -1.0, -3.0])
+    hi = jnp.asarray([1.0, 1.0, 0.0])
+    dim = 3
+    n_pop = popsize * dim
+
+    def set_params(u: Array) -> Params:
+        out = dict(params)
+        dtype = params["log_variance"].dtype
+        out["log_variance"] = (u[0] * LN10).astype(dtype)
+        if "log_lengthscales" in params:
+            out["log_lengthscales"] = jnp.full_like(
+                params["log_lengthscales"], (u[1] * LN10).astype(dtype)
+            )
+        out["log_noise_variance"] = (u[2] * LN10).astype(dtype)
+        return out
+
+    energy = jax.vmap(lambda u: loss_fn(set_params(u)))
+
+    key = jax.random.PRNGKey(seed)
+    key, sub = jax.random.split(key)
+    pop0 = lo + jax.random.uniform(sub, (n_pop, dim)) * (hi - lo)
+    f0 = energy(pop0)
+
+    def cond(state):
+        i, key, pop, f = state
+        spread = jnp.std(f)
+        return jnp.logical_and(i < max_iter, spread > tol * jnp.abs(jnp.mean(f)))
+
+    def body(state):
+        i, key, pop, f = state
+        key, kf, kr, kcross, kjdim = jax.random.split(key, 5)
+        fmut = jax.random.uniform(kf, (), minval=0.5, maxval=1.0)  # dithering
+        best_u = pop[jnp.argmin(f)]
+        idx = jax.random.randint(kr, (n_pop, 2), 0, n_pop)
+        mutant = best_u[None, :] + fmut * (pop[idx[:, 0]] - pop[idx[:, 1]])
+        mutant = jnp.clip(mutant, lo, hi)
+        cross = jax.random.uniform(kcross, (n_pop, dim)) < recombination
+        jdim = jax.random.randint(kjdim, (n_pop,), 0, dim)
+        force = jax.nn.one_hot(jdim, dim, dtype=bool)
+        cross = jnp.logical_or(cross, force)
+        trial = jnp.where(cross, mutant, pop)
+        f_trial = energy(trial)
+        accept = f_trial < f
+        pop = jnp.where(accept[:, None], trial, pop)
+        f = jnp.where(accept, f_trial, f)
+        return i + 1, key, pop, f
+
+    i, _, pop, f = jax.lax.while_loop(cond, body, (0, key, pop0, f0))
+    best_u = pop[jnp.argmin(f)]
+    p = set_params(best_u)
+    return p, {"iterations": i, "loss": jnp.min(f), "losses": f}
+
+
+# ---------------------------------------------------------------------------
+# dispatcher
+# ---------------------------------------------------------------------------
+
+FITTERS: dict[str, Callable[..., tuple[Params, dict[str, Array]]]] = {
+    "two-stage": two_stage_fit,
+    "three-stage": three_stage_fit,
+    "adam": adam_fit,
+    "adadelta": adadelta_fit,
+    "L-BFGS-B": lbfgs_fit,
+    "stochastic": multi_start_fit,
+    "diffential_evolution": de_fit,  # [sic] reference key, gpras/gpr.py:213
+    "differential_evolution": de_fit,
+}
+
+
+def fit(
+    loss_fn: LossFn, params: Params, method: str = "two-stage", **kwargs: Any
+) -> tuple[Params, dict[str, Array]]:
+    """Dispatch to an optimizer by its reference-parity name (gpras/gpr.py:206-214)."""
+    if method not in FITTERS:
+        raise ValueError(f"Unknown optimizer {method!r}; expected one of {sorted(FITTERS)}")
+    return FITTERS[method](loss_fn, params, **kwargs)

@@ -1,0 +1,266 @@
+"""GPRAS: the high-level multi-output GP model (API parity with the reference).
+
+Reference surface (gpras/gpr.py:217-384): ``GPRAS(kernel)`` with
+``fit(x, y, n_inducing, inducing_initializer, optimization_method, **opt_kwargs)``,
+``predict(x) -> (means, variances)``, ``to_file``/``from_file``.
+
+TPU-first redesign:
+- The reference trains **one GPflow SGPR per EOF mode in a serial Python loop**
+  (gpras/gpr.py:272-274) and predicts mode-by-mode (gpras/gpr.py:336-339). Here the
+  per-mode parameters are a **batched pytree** (leading axis = mode) and fit/predict
+  are ``jax.vmap`` of a single jitted program — all modes train and predict
+  simultaneously on one chip.
+- ``model_type="exact"`` adds a dense exact-GP backend (no inducing points) with a
+  custom-VJP NLML — the reference has no exact-GP path; this is BASELINE.json's
+  headline config.
+- After ``fit`` the posterior factors are **precomputed once** (Cholesky factors and
+  projected targets), so batched prediction over thousands of storm-event timesteps
+  is matmul-only — the "storm-event predictions/sec" metric surface.
+- Serialization is a structured npz (no pickle), keeping the reference's
+  save -> load -> predict flow (production/analysis/pipeline.py:254-255).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from pathlib import Path
+from typing import Any, Literal, Self
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from gpras_tpu.fit import optimizers as fitters
+from gpras_tpu.gp import exact as exact_gp
+from gpras_tpu.gp import sgpr
+from gpras_tpu.ops import kernels as K
+from gpras_tpu.ops import kmeans as km
+from gpras_tpu.ops import linalg
+from gpras_tpu.utils.serialization import load_artifact, save_artifact
+
+Array = jax.Array
+
+KernelType = K.KernelName
+OptimizerType = Literal[
+    "two-stage", "three-stage", "adam", "adadelta", "L-BFGS-B",
+    "stochastic", "diffential_evolution", "differential_evolution",
+]
+InductionInitializerType = Literal["kmeans", "grid"]
+ModelBackendType = Literal["sgpr", "exact"]
+
+
+@partial(jax.jit, static_argnums=(0,))
+def _sgpr_posterior_cache(kernel: str, params: dict[str, Array], x: Array, y: Array):
+    """Per-mode cached factors for fast repeated prediction: (L, LB, c)."""
+    sigma, sigma2, l, a, lb = sgpr._common(kernel, params, x)
+    c = linalg.solve_triangular(lb, a @ y[:, None], lower=True)[:, 0] / sigma
+    return l, lb, c
+
+
+@partial(jax.jit, static_argnums=(0,))
+def _sgpr_predict_from_cache(kernel: str, params: dict[str, Array],
+                             cache: tuple[Array, Array, Array], x_test: Array):
+    l, lb, c = cache
+    kus = K.gram(kernel, params, params["z"], x_test)
+    tmp1 = linalg.solve_triangular(l, kus, lower=True)
+    tmp2 = linalg.solve_triangular(lb, tmp1, lower=True)
+    mean = tmp2.T @ c
+    var = K.kdiag(kernel, params, x_test) - jnp.sum(tmp1 * tmp1, axis=0) + jnp.sum(tmp2 * tmp2, axis=0)
+    var = jnp.maximum(var, 0.0) + jnp.exp(params["log_noise_variance"])
+    return mean, var
+
+
+@partial(jax.jit, static_argnums=(0,))
+def _exact_posterior_cache(kernel: str, params: dict[str, Array], x: Array, y: Array):
+    kmat = exact_gp.build_train_gram(kernel, params, x)
+    l = jnp.linalg.cholesky(kmat)
+    alpha = linalg.cho_solve(l, y[:, None])[:, 0]
+    return l, alpha
+
+
+@partial(jax.jit, static_argnums=(0,))
+def _exact_predict_from_cache(kernel: str, params: dict[str, Array],
+                              cache: tuple[Array, Array], x_train: Array, x_test: Array):
+    l, alpha = cache
+    ks = K.gram(kernel, params, x_test, x_train)
+    mean = ks @ alpha
+    v = linalg.solve_triangular(l, ks.T, lower=True)
+    var = K.kdiag(kernel, params, x_test) - jnp.sum(v * v, axis=0)
+    var = jnp.maximum(var, 0.0) + jnp.exp(params["log_noise_variance"])
+    return mean, var
+
+
+class GPRAS:
+    """Multi-output GP for HEC-RAS upskilling/emulation (reference gpras/gpr.py:217)."""
+
+    def __init__(
+        self,
+        kernel: KernelType,
+        model_type: ModelBackendType = "sgpr",
+        dtype: Any = jnp.float32,
+    ) -> None:
+        if kernel not in K.KERNEL_NAMES:
+            raise ValueError(f"Unknown kernel {kernel!r}")
+        self.kernel_str: str = kernel
+        self.model_type: str = model_type
+        self.dtype = dtype
+        self.params: dict[str, Array] | None = None  # batched: leading axis = mode
+        self.fit_info: dict[str, Array] | None = None
+        self.x: Array | None = None
+        self.y: Array | None = None
+        self.n_inducing: int = 0
+        self._cache: tuple[Array, ...] | None = None
+
+    # ------------------------------------------------------------------ fitting
+
+    def fit(
+        self,
+        x: np.ndarray | Array,
+        y: np.ndarray | Array,
+        n_inducing: int = 0,
+        inducing_initializer: InductionInitializerType = "kmeans",
+        optimization_method: OptimizerType = "two-stage",
+        **opt_kwargs: Any,
+    ) -> None:
+        """Fit one latent GP per output column of ``y``, all modes vmapped.
+
+        Mirrors the reference's signature and defaults (gpras/gpr.py:237-275);
+        ``n_inducing`` is ignored for the exact backend.
+        """
+        self.x = jnp.asarray(x, dtype=self.dtype)
+        self.y = jnp.asarray(y, dtype=self.dtype)
+        if self.y.ndim == 1:
+            self.y = self.y[:, None]
+        self.n_inducing = int(n_inducing)
+        p_modes = self.y.shape[1]
+
+        params0 = self._init_params(inducing_initializer)
+        # broadcast identical init across modes (leading axis = mode)
+        batched0 = jax.tree.map(
+            lambda leaf: jnp.broadcast_to(leaf, (p_modes,) + leaf.shape), params0
+        )
+
+        fitter = fitters.FITTERS[optimization_method]
+        if optimization_method == "stochastic":
+            opt_kwargs.setdefault("x", self.x)
+        loss = self._loss_fn
+
+        def fit_one(params_i: dict[str, Array], y_i: Array):
+            return fitter(lambda p: loss(p, y_i), params_i, **opt_kwargs)
+
+        fitted, info = jax.vmap(fit_one, in_axes=(0, 1))(batched0, self.y)
+        self.params = fitted
+        self.fit_info = info
+        self._cache = None
+
+    def _loss_fn(self, params: dict[str, Array], y_i: Array) -> Array:
+        if self.model_type == "sgpr":
+            return sgpr.training_loss(self.kernel_str, params, self.x, y_i)
+        return exact_gp.training_loss(self.kernel_str, params, self.x, y_i)
+
+    def _init_params(self, inducing_initializer: str) -> dict[str, Array]:
+        if self.model_type == "exact":
+            return exact_gp.init_params(self.kernel_str, self.x)
+        z = self._create_inducing(self.x, self.n_inducing, inducing_initializer)
+        return sgpr.init_params(self.kernel_str, self.x, z)
+
+    @staticmethod
+    def _create_inducing(x: Array, n_inducing: int, method: str) -> Array:
+        """kmeans cluster centers or per-feature grid (gpras/gpr.py:310-320)."""
+        if method == "kmeans":
+            return km.kmeans_inducing(x, n_inducing, seed=0)
+        if method == "grid":
+            return km.grid_inducing(x, n_inducing)
+        raise ValueError(f"Unknown inducing initializer {method!r}")
+
+    # --------------------------------------------------------------- prediction
+
+    def _ensure_cache(self) -> None:
+        if self._cache is not None:
+            return
+        if self.params is None:
+            raise RuntimeError("fit() or from_file() must run before predict()")
+        if self.model_type == "sgpr":
+            self._cache = jax.vmap(
+                lambda p, y_i: _sgpr_posterior_cache(self.kernel_str, p, self.x, y_i),
+                in_axes=(0, 1),
+            )(self.params, self.y)
+        else:
+            self._cache = jax.vmap(
+                lambda p, y_i: _exact_posterior_cache(self.kernel_str, p, self.x, y_i),
+                in_axes=(0, 1),
+            )(self.params, self.y)
+
+    def predict(self, x: np.ndarray | Array) -> tuple[np.ndarray, np.ndarray]:
+        """Posterior predictive (mean, variance), each (n_samples, n_modes).
+
+        Observation-space variance (includes likelihood noise), matching the
+        reference's ``predict_y`` concat loop (gpras/gpr.py:322-342) — but batched
+        over modes and samples in one jitted call from precomputed factors.
+        """
+        xq = jnp.asarray(x, dtype=self.dtype)
+        self._ensure_cache()
+        if self.model_type == "sgpr":
+            mean, var = jax.vmap(
+                lambda p, cache: _sgpr_predict_from_cache(self.kernel_str, p, cache, xq)
+            )(self.params, self._cache)
+        else:
+            mean, var = jax.vmap(
+                lambda p, cache: _exact_predict_from_cache(self.kernel_str, p, cache, self.x, xq)
+            )(self.params, self._cache)
+        return np.asarray(mean.T), np.asarray(var.T)
+
+    # ------------------------------------------------------------ serialization
+
+    def to_file(self, path: str | Path, model_dir: str | Path | None = None) -> None:
+        """Structured npz checkpoint (kernel, data, per-mode params) — same content
+        as the reference's pickle (gpras/gpr.py:344-366) without pickle.
+
+        ``model_dir`` is accepted for signature parity and ignored (everything
+        lives in the one file).
+        """
+        if self.params is None:
+            raise RuntimeError("Nothing to save: fit() first")
+        meta = {
+            "kernel": self.kernel_str,
+            "model_type": self.model_type,
+            "n_inducing": self.n_inducing,
+            "dtype": np.dtype(jnp.asarray(self.x).dtype).name,
+            "param_names": sorted(self.params.keys()),
+        }
+        arrays = {"x": np.asarray(self.x), "y": np.asarray(self.y)}
+        for k, v in self.params.items():
+            arrays[f"param_{k}"] = np.asarray(v)
+        save_artifact(path, meta, arrays)
+
+    @classmethod
+    def from_file(cls, path: str | Path) -> Self:
+        meta, arrays = load_artifact(path)
+        inst = cls(meta["kernel"], model_type=meta["model_type"],
+                   dtype=jnp.dtype(meta["dtype"]))
+        inst.n_inducing = int(meta["n_inducing"])
+        inst.x = jnp.asarray(arrays["x"], dtype=inst.dtype)
+        inst.y = jnp.asarray(arrays["y"], dtype=inst.dtype)
+        inst.params = {
+            name: jnp.asarray(arrays[f"param_{name}"], dtype=inst.dtype)
+            if name != "degree" else jnp.asarray(arrays[f"param_{name}"])
+            for name in meta["param_names"]
+        }
+        return inst
+
+    # ------------------------------------------------------------------- extras
+
+    @property
+    def models(self) -> list[dict[str, np.ndarray]]:
+        """Per-mode constrained hyperparameters (diagnostic convenience; the
+        reference exposes a list of SGPR objects, gpras/gpr.py:232)."""
+        if self.params is None:
+            return []
+        p_modes = next(iter(self.params.values())).shape[0]
+        out = []
+        for i in range(p_modes):
+            mode = {k: np.asarray(v[i]) for k, v in self.params.items()}
+            out.append({k[4:] if k.startswith("log_") else k:
+                        np.exp(v) if k.startswith("log_") else v
+                        for k, v in mode.items()})
+        return out

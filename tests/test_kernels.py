@@ -1,0 +1,98 @@
+"""Kernel Gram builders vs closed-form values and naive O(N^2 D) references."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from gpras_tpu.ops import kernels as K
+
+
+def naive_gram(kernel, params, x1, x2):
+    """Straightforward per-pair evaluation (float64 numpy) as ground truth."""
+    p = {k: np.asarray(v, dtype=np.float64) for k, v in params.items()}
+    s2 = np.exp(p["log_variance"])
+    out = np.zeros((x1.shape[0], x2.shape[0]))
+    for i in range(x1.shape[0]):
+        for j in range(x2.shape[0]):
+            a, b = x1[i], x2[j]
+            if kernel in K.STATIONARY_KERNELS:
+                ls = np.exp(p["log_lengthscales"])
+                r2 = np.sum(((a - b) / ls) ** 2)
+                r = np.sqrt(r2)
+                if kernel == "RBF":
+                    out[i, j] = s2 * np.exp(-0.5 * r2)
+                elif kernel == "Matern12":
+                    out[i, j] = s2 * np.exp(-r)
+                elif kernel == "Matern32":
+                    out[i, j] = s2 * (1 + np.sqrt(3) * r) * np.exp(-np.sqrt(3) * r)
+                elif kernel == "Matern52":
+                    out[i, j] = s2 * (1 + np.sqrt(5) * r + 5 / 3 * r2) * np.exp(-np.sqrt(5) * r)
+                elif kernel == "Exponential":
+                    out[i, j] = s2 * np.exp(-0.5 * r)
+            elif kernel == "Linear":
+                out[i, j] = s2 * a @ b
+            elif kernel == "Polynomial":
+                out[i, j] = (s2 * a @ b + np.exp(p["log_offset"])) ** p["degree"]
+            elif kernel == "Periodic":
+                ls = np.exp(p["log_lengthscales"])
+                period = np.exp(p["log_period"])
+                r2 = np.sum((2 * np.sin(np.pi * (a - b) / period) / ls) ** 2)
+                out[i, j] = s2 * np.exp(-0.5 * r2)
+    return out
+
+
+@pytest.mark.parametrize("kernel", K.KERNEL_NAMES)
+def test_gram_matches_naive(kernel):
+    rng = np.random.default_rng(0)
+    x1 = rng.normal(size=(7, 3))
+    x2 = rng.normal(size=(5, 3))
+    params = K.init_params(kernel, 3, variance=1.7, lengthscales=np.array([0.5, 1.0, 2.0]),
+                           period=1.3, offset=0.7, degree=3.0, dtype=jnp.float64)
+    got = np.asarray(K.gram(kernel, params, jnp.asarray(x1), jnp.asarray(x2)))
+    want = naive_gram(kernel, params, x1, x2)
+    np.testing.assert_allclose(got, want, rtol=1e-10, atol=1e-10)
+
+
+@pytest.mark.parametrize("kernel", K.KERNEL_NAMES)
+def test_kdiag_matches_gram_diagonal(kernel):
+    rng = np.random.default_rng(1)
+    x = jnp.asarray(rng.normal(size=(6, 2)))
+    params = K.init_params(kernel, 2, variance=0.9, lengthscales=1.4, dtype=jnp.float64)
+    full = np.diag(np.asarray(K.gram(kernel, params, x)))
+    diag = np.asarray(K.kdiag(kernel, params, x))
+    np.testing.assert_allclose(diag, full, rtol=1e-8, atol=1e-10)
+
+
+def test_gram_symmetry_and_psd():
+    rng = np.random.default_rng(2)
+    x = jnp.asarray(rng.normal(size=(20, 4)))
+    for kernel in K.STATIONARY_KERNELS:
+        params = K.init_params(kernel, 4, dtype=jnp.float64)
+        g = np.asarray(K.gram(kernel, params, x))
+        np.testing.assert_allclose(g, g.T, atol=1e-12)
+        evals = np.linalg.eigvalsh(g)
+        assert evals.min() > -1e-8
+
+
+def test_constrain_roundtrip():
+    params = K.init_params("Periodic", 3, variance=2.0, lengthscales=0.3, period=1.1,
+                           dtype=jnp.float64)
+    back = K.unconstrain(K.constrain(params))
+    for k in params:
+        np.testing.assert_allclose(np.asarray(back[k]), np.asarray(params[k]), rtol=1e-12)
+
+
+def test_gram_gradients_finite_at_coincident_points():
+    """Matern gradients must not NaN when x1 == x2 rows coincide (r=0)."""
+    import jax
+
+    x = jnp.asarray(np.ones((4, 2)))  # all points identical: worst case
+    for kernel in K.KERNEL_NAMES:
+        params = K.init_params(kernel, 2, dtype=jnp.float64)
+
+        def f(p):
+            return jnp.sum(K.gram(kernel, p, x))
+
+        grads = jax.grad(f)(params)
+        for leaf in jax.tree.leaves(grads):
+            assert np.all(np.isfinite(np.asarray(leaf))), kernel

@@ -1,0 +1,82 @@
+"""High-level GPRAS model: vmapped multi-output fit, predict, serialization."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from gpras_tpu.gp.model import GPRAS
+
+N, D, P, M = 24, 2, 3, 6
+
+
+def make_data(seed=0, n=N):
+    rng = np.random.default_rng(seed)
+    x = rng.normal(size=(n, D))
+    base = np.sin(x[:, 0]) + 0.3 * x[:, 1]
+    y = np.stack([base * (i + 1) + 0.02 * rng.normal(size=n) for i in range(P)], axis=1)
+    return x, y
+
+
+def test_fit_predict_shapes_and_accuracy():
+    x, y = make_data()
+    model = GPRAS("RBF", dtype=jnp.float64)
+    model.fit(x, y, n_inducing=M, optimization_method="adam", max_iter=150)
+    mean, var = model.predict(x)
+    assert mean.shape == (N, P)
+    assert var.shape == (N, P)
+    assert np.all(var > 0)
+    # mode 0 is low-noise sin; fitted posterior should track it
+    rmse = np.sqrt(np.mean((mean - y) ** 2))
+    assert rmse < 0.5, rmse
+
+
+def test_exact_backend_beats_prior():
+    x, y = make_data(seed=1)
+    model = GPRAS("Matern52", model_type="exact", dtype=jnp.float64)
+    model.fit(x, y, optimization_method="adam", max_iter=100)
+    mean, _ = model.predict(x)
+    rmse = np.sqrt(np.mean((mean - y) ** 2))
+    assert rmse < 0.5, rmse
+
+
+def test_serialization_round_trip(tmp_path):
+    x, y = make_data(seed=2)
+    model = GPRAS("RBF", dtype=jnp.float64)
+    model.fit(x, y, n_inducing=M, optimization_method="adam", max_iter=20)
+    mean1, var1 = model.predict(x)
+    path = tmp_path / "model.npz"
+    model.to_file(path)
+    loaded = GPRAS.from_file(path)
+    assert loaded.kernel_str == "RBF"
+    mean2, var2 = loaded.predict(x)
+    np.testing.assert_allclose(mean1, mean2, rtol=1e-10)
+    np.testing.assert_allclose(var1, var2, rtol=1e-10)
+
+
+def test_grid_inducing_initializer():
+    x, y = make_data(seed=3)
+    model = GPRAS("RBF", dtype=jnp.float64)
+    model.fit(x, y, n_inducing=M, inducing_initializer="grid",
+              optimization_method="adam", max_iter=5)
+    assert model.params["z"].shape == (P, M, D)
+
+
+def test_models_property_exposes_constrained_params():
+    x, y = make_data(seed=4)
+    model = GPRAS("RBF", dtype=jnp.float64)
+    model.fit(x, y, n_inducing=M, optimization_method="adam", max_iter=5)
+    ms = model.models
+    assert len(ms) == P
+    assert all(m["variance"] > 0 for m in ms)
+    assert all(m["noise_variance"] > 0 for m in ms)
+
+
+def test_unknown_kernel_rejected():
+    with pytest.raises(ValueError):
+        GPRAS("NotAKernel")
+
+
+def test_predict_before_fit_raises():
+    model = GPRAS("RBF")
+    with pytest.raises(RuntimeError):
+        model.predict(np.zeros((3, D)))

@@ -1,0 +1,127 @@
+"""Optimizer zoo: convergence, early-stop semantics, gradient-mask freezing."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from gpras_tpu.fit import optimizers as opt
+from gpras_tpu.gp import sgpr
+
+N, D, M = 24, 2, 6
+
+
+def make_problem(seed=0):
+    rng = np.random.default_rng(seed)
+    x = jnp.asarray(rng.normal(size=(N, D)))
+    y = jnp.asarray(np.sin(np.asarray(x)[:, 0]) + 0.05 * rng.normal(size=(N,)))
+    z = x[:M]
+    params = sgpr.init_params("RBF", x, z, noise_variance=0.5)
+
+    def loss_fn(p):
+        return sgpr.training_loss("RBF", p, x, y)
+
+    return params, loss_fn
+
+
+def quadratic_problem():
+    target = {"a": jnp.asarray([1.0, -2.0]), "b": jnp.asarray(3.0)}
+    params = {"a": jnp.zeros(2), "b": jnp.asarray(0.0)}
+
+    def loss_fn(p):
+        return jnp.sum((p["a"] - target["a"]) ** 2) + (p["b"] - target["b"]) ** 2
+
+    return params, loss_fn, target
+
+
+def test_adam_reduces_loss():
+    params, loss_fn = make_problem()
+    before = float(loss_fn(params))
+    fitted, info = opt.adam_fit(loss_fn, params, max_iter=60)
+    assert float(info["loss"]) < before
+    assert int(info["iterations"]) <= 60
+
+
+def test_adam_early_stop_patience():
+    """With an impossible tol every step is 'no improvement' after the first,
+    so the loop must stop after patience+2 iterations (reference semantics:
+    break when count > patience, gpras/gpr.py:167-173)."""
+    params, loss_fn = make_problem()
+    _, info = opt.adam_fit(loss_fn, params, max_iter=500, tol=1e30, patience=3)
+    assert int(info["iterations"]) == 5  # 1 improving (vs inf) + 4 stalls
+
+
+def test_adam_mask_freezes_parameters():
+    params, loss_fn = make_problem()
+    fitted, _ = opt.adam_fit(loss_fn, params, max_iter=10,
+                             mask=opt.mask_only(params, ("z",)))
+    for k in params:
+        if k == "z":
+            assert not np.allclose(np.asarray(fitted[k]), np.asarray(params[k]))
+        else:
+            np.testing.assert_array_equal(np.asarray(fitted[k]), np.asarray(params[k]))
+
+
+def test_lbfgs_solves_quadratic():
+    params, loss_fn, target = quadratic_problem()
+    fitted, info = opt.lbfgs_fit(loss_fn, params, max_iter=50)
+    np.testing.assert_allclose(np.asarray(fitted["a"]), np.asarray(target["a"]), atol=1e-5)
+    np.testing.assert_allclose(float(fitted["b"]), float(target["b"]), atol=1e-5)
+
+
+def test_lbfgs_mask_freezes_parameters():
+    params, loss_fn, target = quadratic_problem()
+    fitted, _ = opt.lbfgs_fit(loss_fn, params, max_iter=30,
+                              mask={"a": jnp.asarray(1.0), "b": jnp.asarray(0.0)})
+    np.testing.assert_allclose(np.asarray(fitted["a"]), np.asarray(target["a"]), atol=1e-5)
+    assert float(fitted["b"]) == 0.0
+
+
+def test_two_stage_improves_loss():
+    params, loss_fn = make_problem()
+    before = float(loss_fn(params))
+    fitted, info = opt.two_stage_fit(loss_fn, params, max_iter=30)
+    assert float(info["loss"]) < before
+
+
+def test_three_stage_improves_loss():
+    params, loss_fn = make_problem()
+    before = float(loss_fn(params))
+    fitted, info = opt.three_stage_fit(loss_fn, params, max_iter=15)
+    assert float(info["loss"]) < before
+
+
+def test_multi_start_improves_loss():
+    params, loss_fn = make_problem()
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.normal(size=(N, D)))
+    before = float(loss_fn(params))
+    fitted, info = opt.multi_start_fit(loss_fn, params, x=x, n_starts=4,
+                                       iter_initial=5, iter_final=20)
+    assert float(info["loss"]) < before
+    assert info["restart_losses"].shape == (4,)
+
+
+def test_de_fit_improves_loss_and_respects_bounds():
+    params, loss_fn = make_problem()
+    before = float(loss_fn(params))
+    fitted, info = opt.de_fit(loss_fn, params, popsize=4, max_iter=10, adam_iter=5)
+    assert float(info["loss"]) <= before
+    lv = float(fitted["log_variance"]) / np.log(10)
+    ln = float(fitted["log_noise_variance"]) / np.log(10)
+    assert -1.0 - 1e-9 <= lv <= 1.0 + 1e-9
+    assert -3.0 - 1e-9 <= ln <= 0.0 + 1e-9
+    # scalar lengthscale broadcast, like the reference's assign (gpras/gpr.py:58)
+    ls = np.asarray(fitted["log_lengthscales"])
+    assert np.allclose(ls, ls[0])
+
+
+def test_dispatcher_names_match_reference():
+    for name in ["two-stage", "three-stage", "adam", "adadelta", "L-BFGS-B",
+                 "stochastic", "diffential_evolution"]:
+        assert name in opt.FITTERS
+
+
+def test_dispatcher_rejects_unknown():
+    with pytest.raises(ValueError):
+        opt.fit(lambda p: 0.0, {}, method="nope")
