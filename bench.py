@@ -1,0 +1,144 @@
+"""Headline benchmark: exact-GP fit wall-clock (Gram + blocked Cholesky +
+custom-VJP NLML + jitted Adam), per BASELINE.json's metric
+"N=50k exact-GP fit wall-clock (Chol+NLML opt)".
+
+Protocol: largest N from the ladder that fits on the chip; 10 jitted Adam steps
+on the exact-GP training loss (each step = one Gram build + one Cholesky forward
++ factor-reusing backward), timed after one warmup/compile step. Also reports
+batched SGPR posterior throughput (storm-event predictions/sec) as a secondary
+field. Baseline: the reference publishes no numbers (BASELINE.md); the
+driver-set target is fit < 10 s on one TPU slice, so vs_baseline = 10 / seconds
+(>1 means faster than target).
+
+Prints exactly one JSON line.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+
+def _make_data(n: int, d: int, dtype):
+    import jax.numpy as jnp
+
+    rng = np.random.default_rng(0)
+    x = rng.normal(size=(n, d)).astype(np.float32)
+    y = (np.sin(x[:, 0]) + 0.1 * rng.normal(size=n)).astype(np.float32)
+    return jnp.asarray(x, dtype), jnp.asarray(y, dtype)
+
+
+def bench_exact_fit(n: int, steps: int = 10, d: int = 8) -> float:
+    """Seconds for `steps` jitted Adam steps on the exact-GP loss at size n."""
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from gpras_tpu.gp import exact
+
+    kernel = "Matern52"
+    x, y = _make_data(n, d, jnp.float32)
+    params = exact.init_params(kernel, x, noise_variance=0.1)
+    opt = optax.adam(0.05)
+
+    def loss_fn(p):
+        return exact.training_loss(kernel, p, x, y)
+
+    @jax.jit
+    def step(p, opt_state):
+        loss, grads = jax.value_and_grad(loss_fn)(p)
+        updates, opt_state = opt.update(grads, opt_state, p)
+        p = optax.apply_updates(p, updates)
+        return p, opt_state, loss
+
+    opt_state = opt.init(params)
+    params, opt_state, loss = step(params, opt_state)  # compile + warmup
+    jax.block_until_ready(loss)
+    t0 = time.perf_counter()
+    for _ in range(steps):
+        params, opt_state, loss = step(params, opt_state)
+    jax.block_until_ready(loss)
+    elapsed = time.perf_counter() - t0
+    if not np.isfinite(float(loss)):
+        raise RuntimeError(f"non-finite loss at n={n}")
+    return elapsed
+
+
+def bench_predict_throughput(n: int = 4096, m: int = 128, p_modes: int = 16,
+                             s_events: int = 8192, d: int = 8) -> float:
+    """Storm-event predictions/sec: batched multi-mode SGPR posterior from
+    precomputed factors (the reference's per-mode predict_y loop, vmapped)."""
+    import jax
+    import jax.numpy as jnp
+
+    from gpras_tpu.gp import model as gmodel
+    from gpras_tpu.gp import sgpr
+
+    kernel = "Matern52"
+    x, y0 = _make_data(n, d, jnp.float32)
+    y = jnp.stack([y0 * (i + 1) for i in range(p_modes)], axis=1)
+    params = sgpr.init_params(kernel, x, x[:m])
+    batched = jax.tree.map(
+        lambda leaf: jnp.broadcast_to(leaf, (p_modes,) + leaf.shape), params)
+    cache = jax.vmap(
+        lambda p, y_i: gmodel._sgpr_posterior_cache(kernel, p, x, y_i),
+        in_axes=(0, 1))(batched, y)
+    xq = _make_data(s_events, d, jnp.float32)[0]
+
+    @jax.jit
+    def predict(b, c, q):
+        return jax.vmap(
+            lambda p, ci: gmodel._sgpr_predict_from_cache(kernel, p, ci, q)
+        )(b, c)
+
+    out = predict(batched, cache, xq)
+    jax.block_until_ready(out)
+    t0 = time.perf_counter()
+    reps = 20
+    for _ in range(reps):
+        out = predict(batched, cache, xq)
+    jax.block_until_ready(out)
+    dt = (time.perf_counter() - t0) / reps
+    return s_events / dt
+
+
+def main() -> None:
+    steps = int(os.environ.get("GPRAS_BENCH_STEPS", "10"))
+    ladder = [int(v) for v in os.environ.get(
+        "GPRAS_BENCH_NS", "50000,40960,32768,24576,16384,8192").split(",")]
+    elapsed = None
+    n_used = None
+    for n in ladder:
+        try:
+            elapsed = bench_exact_fit(n, steps=steps)
+            n_used = n
+            break
+        except Exception as e:  # OOM or numerical failure -> smaller N
+            print(f"# n={n} failed: {type(e).__name__}: {str(e)[:200]}",
+                  file=sys.stderr)
+            continue
+    if elapsed is None:
+        raise SystemExit("all bench sizes failed")
+    try:
+        pred_rate = bench_predict_throughput()
+    except Exception as e:
+        print(f"# predict bench failed: {e}", file=sys.stderr)
+        pred_rate = float("nan")
+    result = {
+        "metric": f"exact_gp_fit_n{n_used}_{steps}adam_steps",
+        "value": round(elapsed, 4),
+        "unit": "seconds",
+        "vs_baseline": round(10.0 / elapsed, 3),
+        "n": n_used,
+        "steps": steps,
+        "storm_event_predictions_per_sec": round(pred_rate, 1),
+    }
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

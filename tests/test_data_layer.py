@@ -1,0 +1,228 @@
+"""Host data layer: flow/plan files, rating curve, geometry, RasModel, builders."""
+
+import os
+from pathlib import Path
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from gpras_tpu.data.flow_file import (
+    FlowHydrographBC,
+    NormalDepthBC,
+    UnsteadyFlowFile,
+)
+from gpras_tpu.data.geometry import CellMesh, LineString, Polygon, rasterize_polygon
+from gpras_tpu.data.plan_file import PlanFile, update_hdf_attributes, update_hdf_data
+from gpras_tpu.data.rating_curve import RatingCurve, bspline_design_matrix
+from gpras_tpu.data.ras_model import RasModel
+
+import fixtures as fx
+
+BRIDGEPORT_U01 = "/root/reference/data/run_creation/bridgeport.u01"
+
+
+# ---------------------------------------------------------------------------- flow files
+
+def test_flow_file_parse_emit_fixpoint_synthetic():
+    f = UnsteadyFlowFile("test storm", file_description="a synthetic event")
+    f.initial_conditions.consume("IC Point Elev=ic_a                      ,840.7")
+    f.boundary_conditions.bcs.append(NormalDepthBC(
+        "0.004", "0", sa_2d_id=" " * 16, mesh_name="mesh1".ljust(16),
+        bc_line_id="bc_out".ljust(32)))
+    f.boundary_conditions.bcs.append(FlowHydrographBC(
+        interval="1HOUR", dss_file="flows.dss", dss_path="//A/FLOW//1HOUR/RUN:X/",
+        sa_2d_id=" " * 16, mesh_name="mesh1".ljust(16),
+        bc_line_id="bc_in".ljust(32)))
+    text = f.emit()
+    g = UnsteadyFlowFile.from_string(text)
+    assert g.flow_title == "test storm"
+    assert len(g.initial_conditions.ics) == 1
+    assert g.initial_conditions.ics[0].elevation == "840.7"
+    assert len(g.boundary_conditions.bcs) == 2
+    kinds = {type(bc) for bc in g.boundary_conditions.bcs}
+    assert kinds == {NormalDepthBC, FlowHydrographBC}
+    # emit -> parse -> emit is a fixpoint
+    assert UnsteadyFlowFile.from_string(g.emit()).emit() == g.emit()
+
+
+@pytest.mark.skipif(not os.path.exists(BRIDGEPORT_U01),
+                    reason="reference data not mounted")
+def test_flow_file_parses_real_bridgeport():
+    f = UnsteadyFlowFile.from_file(BRIDGEPORT_U01)
+    assert f.flow_title == "may1990"
+    assert len(f.initial_conditions.ics) == 6
+    assert all(ic.ic_type == "IC Point" for ic in f.initial_conditions.ics)
+    bcs = f.boundary_conditions.bcs
+    assert len(bcs) > 5
+    hydro = [b for b in bcs if isinstance(b, FlowHydrographBC)]
+    normal = [b for b in bcs if isinstance(b, NormalDepthBC)]
+    assert len(normal) >= 1 and len(hydro) >= 4
+    assert all("FLOW" in b.dss_path for b in hydro)
+    # round trip: emitted file re-parses to the same structure
+    g = UnsteadyFlowFile.from_string(f.emit())
+    assert len(g.boundary_conditions.bcs) == len(bcs)
+    assert [b.bc_line_id for b in g.boundary_conditions.bcs] == \
+           [b.bc_line_id for b in bcs]
+    assert UnsteadyFlowFile.from_string(g.emit()).emit() == g.emit()
+
+
+def test_flow_file_crlf_ascii_output(tmp_path):
+    f = UnsteadyFlowFile("t")
+    p = tmp_path / "t.u01"
+    f.to_file(str(p))
+    raw = p.read_bytes()
+    assert b"\r\n" in raw
+    raw.decode("ascii")  # must not raise
+
+
+# ---------------------------------------------------------------------------- plan files
+
+def test_plan_file_overrides_and_roundtrip(tmp_path):
+    pf = PlanFile({"Plan Title": "event_42", "Simulation Date": "01JAN2020,0000,02JAN2020,0000"})
+    p = tmp_path / "m.p02"
+    pf.to_file(p)
+    back = PlanFile.from_file(p)
+    assert back.settings["Plan Title"] == "event_42"
+    assert back.settings["Simulation Date"] == "01JAN2020,0000,02JAN2020,0000"
+    raw = p.read_bytes()
+    assert b"\r\n" in raw
+
+
+def test_update_hdf_attributes_and_data(tmp_path):
+    import h5py
+
+    path = tmp_path / "x.hdf"
+    with h5py.File(path, "w") as f:
+        g = f.create_group("Plan Data/Plan Information")
+        g.attrs["Plan Name"] = np.bytes_(b"old")
+        f.create_dataset("Event Conditions/Meteorology/Precipitation/Values",
+                         data=np.zeros((3, 4)))
+    update_hdf_attributes(str(path), "Plan Data/Plan Information",
+                          {"Plan Name": "new", "Count": 3})
+    update_hdf_data(str(path), "Event Conditions/Meteorology/Precipitation/Values",
+                    np.ones((5, 2), dtype=np.float32))
+    with h5py.File(path) as f:
+        assert f["Plan Data/Plan Information"].attrs["Plan Name"] == b"new"
+        assert f["Plan Data/Plan Information"].attrs["Count"] == 3
+        assert f["Event Conditions/Meteorology/Precipitation/Values"].shape == (5, 2)
+
+
+# -------------------------------------------------------------------------- rating curve
+
+def test_bspline_design_matrix_partition_of_unity():
+    x = np.linspace(0, 10, 200)
+    knots = np.concatenate([[0] * 4, [2.5, 5, 7.5], [10] * 4])
+    b = bspline_design_matrix(x, knots, 3)
+    np.testing.assert_allclose(b.sum(axis=1), 1.0, atol=1e-12)
+    assert np.all(b >= -1e-12)
+
+
+def test_rating_curve_fits_smooth_relation():
+    rng = np.random.default_rng(0)
+    q = np.exp(rng.uniform(np.log(20), np.log(5000), 300))
+    wse = 100 + 3 * np.log(q) + 0.05 * rng.normal(size=q.shape)
+    rc = RatingCurve(q, wse)
+    stats = rc.fit_stats
+    assert stats["rmse"] < 0.1, stats
+    pred = rc.predict(np.array([50.0, 500.0, 4000.0]))
+    want = 100 + 3 * np.log(np.array([50.0, 500.0, 4000.0]))
+    np.testing.assert_allclose(pred, want, atol=0.2)
+
+
+def test_rating_curve_filters_and_sorts():
+    q = np.array([np.nan, -5, 5, 100, 200, 50, 400, 300, 800, 600, 1000, 900,
+                  1500, 1200, 2000])
+    wse = 10 + np.sqrt(np.abs(q))
+    rc = RatingCurve(q, wse, n_knots=3)
+    assert np.all(np.isfinite(rc.q))
+    assert np.all(rc.q > 10)
+    assert np.all(np.diff(rc.q) >= 0)
+
+
+def test_rating_curve_too_few_points_raises():
+    with pytest.raises(ValueError):
+        RatingCurve(np.arange(5) + 20.0, np.arange(5.0))
+
+
+# ------------------------------------------------------------------------------ geometry
+
+def test_polygon_contains_and_area():
+    sq = Polygon(np.array([[0, 0], [2, 0], [2, 2], [0, 2]]))
+    assert sq.area == 4.0
+    np.testing.assert_allclose(sq.centroid, [1, 1])
+    inside = sq.contains_points(np.array([[1, 1], [3, 1], [1.9, 1.9]]))
+    assert inside.tolist() == [True, False, True]
+
+
+def test_cellmesh_areas_centroids_intersects():
+    pts, fpi = fx.grid_mesh(4, 3, 1.0)
+    mesh = CellMesh(np.arange(12), fpi, pts)
+    np.testing.assert_allclose(mesh.areas, 1.0)
+    np.testing.assert_allclose(mesh.centroids, fx.cell_centroids(4, 3, 1.0))
+    aoi = Polygon(np.array([[0.6, 0.6], [2.4, 0.6], [2.4, 1.4], [0.6, 1.4]]))
+    mask = mesh.intersects(aoi)
+    assert mask.sum() >= 3  # cells (0,0)..(2,0) at least touch via vertices
+    assert not mask[-1]
+
+
+def test_linestring_project_and_sample():
+    line = LineString(np.array([[0, 0], [10, 0]]))
+    assert line.length == 10.0
+    assert line.project(np.array([3.0, 5.0])) == 3.0
+    s = line.sample(2.5)
+    assert len(s) >= 5
+    np.testing.assert_allclose(s[0], [0, 0])
+    np.testing.assert_allclose(s[-1], [10, 0])
+
+
+def test_rasterize_polygon():
+    poly = Polygon(np.array([[1, 1], [3, 1], [3, 3], [1, 3]]))
+    mask = rasterize_polygon(poly, (0.0, 4.0), 1.0, (4, 4), all_touched=False)
+    # grid rows top-down: y centers 3.5,2.5,1.5,0.5; x centers 0.5..3.5
+    want = np.array([
+        [0, 0, 0, 0],
+        [0, 1, 1, 0],
+        [0, 1, 1, 0],
+        [0, 0, 0, 0],
+    ], dtype=bool)
+    np.testing.assert_array_equal(mask, want)
+
+
+# ------------------------------------------------------------------------------ RasModel
+
+@pytest.fixture(scope="module")
+def hf_project(tmp_path_factory):
+    root = tmp_path_factory.mktemp("hf_proj")
+    return fx.make_project(root, "hfm", nx=6, ny=6, cell=1.0,
+                           plans=["e1", "e2", "e3"])
+
+
+def test_ras_model_reads_synthetic_project(hf_project):
+    model = RasModel.from_stac(hf_project["stac"])
+    assert set(model.plan_hdfs) == {"e1", "e2", "e3"}
+    elev = model.get_cell_minimum_elevation("e1", fx.MESH_ID)
+    np.testing.assert_allclose(elev, hf_project["elevations"])
+    areas = model.get_cell_areas("e1", fx.MESH_ID)
+    np.testing.assert_allclose(areas, hf_project["areas"])
+    wse = model.get_plan_wsels(["e1", "e2"], fx.MESH_ID)
+    assert wse.index.names == ["run", "t"]
+    assert wse.shape == (80, 36)
+    depths = model.get_plan_depths(["e1"], fx.MESH_ID)
+    assert (depths.values >= -1e-5).all()
+    mesh = model.get_plan_geometry(["e1", "e2"], fx.MESH_ID)
+    assert mesh.n_cells == 36
+    np.testing.assert_allclose(mesh.centroids, hf_project["centroids"])
+
+
+def test_ras_model_prj_mutation(tmp_path):
+    proj = fx.make_project(tmp_path / "m", "mm", nx=2, ny=2, cell=1.0, plans=["a"])
+    model = RasModel.from_stac(proj["stac"])
+    pf = PlanFile({"Plan Title": "added"})
+    new_path = model.add_text_file(pf)
+    assert new_path.endswith(".p01")
+    assert "Plan File=p01" in (tmp_path / "m" / "mm.prj").read_text()
+    # next suffix increments
+    pf2 = PlanFile({"Plan Title": "added2"})
+    new_path2 = model.add_text_file(pf2)
+    assert new_path2.endswith(".p02")

@@ -1,0 +1,161 @@
+"""Distributed components on a virtual 8-device CPU mesh: sharded Gram,
+distributed blocked Cholesky/solves, distributed NLML + custom VJP, sharded PCA."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from gpras_tpu.gp import exact
+from gpras_tpu.ops import kernels as K
+from gpras_tpu.parallel import make_mesh
+from gpras_tpu.parallel.pcholesky import (
+    dist_cho_solve,
+    dist_cholesky,
+    dist_logdet_from_chol,
+)
+from gpras_tpu.parallel.pexact import make_dist_fit_step, make_dist_nlml
+from gpras_tpu.parallel.pgram import pgram_2d, pgram_rows
+from gpras_tpu.parallel.ppca import ppca_fit, ppca_inverse, ppca_transform
+
+N, D, B = 64, 3, 8
+
+
+def make_spd(n=N, seed=0):
+    rng = np.random.default_rng(seed)
+    a = rng.normal(size=(n, n))
+    return jnp.asarray(a @ a.T + n * np.eye(n))
+
+
+def make_xy(n=N, seed=1):
+    rng = np.random.default_rng(seed)
+    x = jnp.asarray(rng.normal(size=(n, D)))
+    y = jnp.asarray(np.sin(np.asarray(x)[:, 0]) + 0.1 * rng.normal(size=n))
+    return x, y
+
+
+def test_mesh_has_8_devices():
+    mesh = make_mesh()
+    assert mesh.devices.size == 8
+
+
+def test_pgram_rows_matches_single_device():
+    mesh = make_mesh()
+    x, _ = make_xy()
+    params = K.init_params("Matern52", D, variance=1.3, lengthscales=0.8,
+                           dtype=jnp.float64)
+    got = np.asarray(pgram_rows(mesh, "Matern52", params, x, noise=0.25))
+    want = np.asarray(K.gram("Matern52", params, x)) + 0.25 * np.eye(N)
+    np.testing.assert_allclose(got, want, rtol=1e-12, atol=1e-12)
+
+
+def test_pgram_2d_matches_single_device():
+    mesh = make_mesh((4, 2), ("i", "j"))
+    x, _ = make_xy()
+    params = K.init_params("RBF", D, dtype=jnp.float64)
+    got = np.asarray(pgram_2d(mesh, "RBF", params, x))
+    want = np.asarray(K.gram("RBF", params, x))
+    np.testing.assert_allclose(got, want, rtol=1e-12, atol=1e-12)
+
+
+def test_dist_cholesky_matches_dense():
+    mesh = make_mesh()
+    k = make_spd()
+    got = np.asarray(dist_cholesky(mesh, k, b=B))
+    want = np.linalg.cholesky(np.asarray(k))
+    np.testing.assert_allclose(got, want, rtol=1e-9, atol=1e-9)
+
+
+def test_dist_cholesky_block_spanning_devices():
+    """Block size larger than one device's rows (b=16, nr=8) still works when
+    panels align with device boundaries."""
+    mesh = make_mesh((4,), ("i",))
+    k = make_spd()
+    got = np.asarray(dist_cholesky(mesh, k, b=16))
+    want = np.linalg.cholesky(np.asarray(k))
+    np.testing.assert_allclose(got, want, rtol=1e-9, atol=1e-9)
+
+
+def test_dist_solve_matches_dense():
+    mesh = make_mesh()
+    k = make_spd(seed=2)
+    rng = np.random.default_rng(3)
+    rhs = jnp.asarray(rng.normal(size=(N, 4)))
+    l = dist_cholesky(mesh, k, b=B)
+    got = np.asarray(dist_cho_solve(mesh, l, rhs, b=B))
+    want = np.linalg.solve(np.asarray(k), np.asarray(rhs))
+    np.testing.assert_allclose(got, want, rtol=1e-8, atol=1e-8)
+    # 1-D rhs path
+    got1 = np.asarray(dist_cho_solve(mesh, l, rhs[:, 0], b=B))
+    np.testing.assert_allclose(got1, want[:, 0], rtol=1e-8, atol=1e-8)
+
+
+def test_dist_logdet_matches_dense():
+    mesh = make_mesh()
+    k = make_spd(seed=4)
+    l = dist_cholesky(mesh, k, b=B)
+    got = float(dist_logdet_from_chol(mesh, l))
+    want = float(np.linalg.slogdet(np.asarray(k))[1])
+    np.testing.assert_allclose(got, want, rtol=1e-10)
+
+
+def test_dist_nlml_matches_single_device():
+    mesh = make_mesh()
+    x, y = make_xy()
+    params = exact.init_params("RBF", x, noise_variance=0.2)
+    nlml = make_dist_nlml(mesh, "RBF", b=B)
+    got = float(nlml(params, x, y))
+    want = float(exact.nlml("RBF", params, x, y))
+    np.testing.assert_allclose(got, want, rtol=1e-9)
+
+
+def test_dist_nlml_gradient_matches_single_device():
+    mesh = make_mesh()
+    x, y = make_xy(seed=5)
+    params = exact.init_params("Matern32", x, noise_variance=0.3)
+    nlml = make_dist_nlml(mesh, "Matern32", b=B, col_batch=16)
+    g_dist = jax.grad(nlml)(params, x, y)
+    g_ref = jax.grad(lambda p: exact.nlml("Matern32", p, x, y))(params)
+    for k in g_ref:
+        np.testing.assert_allclose(np.asarray(g_dist[k]), np.asarray(g_ref[k]),
+                                   rtol=1e-7, atol=1e-9)
+
+
+def test_dist_fit_step_decreases_loss():
+    mesh = make_mesh()
+    x, y = make_xy(seed=6)
+    params = exact.init_params("RBF", x, noise_variance=0.5)
+    init, step = make_dist_fit_step(mesh, "RBF", b=B, learning_rate=0.05)
+    opt_state = init(params)
+    losses = []
+    for _ in range(5):
+        params, opt_state, loss = step(params, opt_state, x, y)
+        losses.append(float(loss))
+    assert losses[-1] < losses[0], losses
+
+
+def test_ppca_matches_single_device():
+    from gpras_tpu.eof.pca import pca_fit
+
+    mesh = make_mesh()
+    rng = np.random.default_rng(7)
+    s, c, k = 24, 64, 5
+    x = rng.normal(size=(s, c))
+    x = x - x.mean(axis=0)
+    xj = jnp.asarray(x)
+    comps_d, expl_d = ppca_fit(mesh, xj, k)
+    comps_s, expl_s = pca_fit(xj, k)
+    np.testing.assert_allclose(np.asarray(expl_d), np.asarray(expl_s)[:k],
+                               rtol=1e-8)
+    # same subspace up to sign
+    for i in range(k):
+        dot = abs(np.dot(np.asarray(comps_d)[i], np.asarray(comps_s)[i]))
+        np.testing.assert_allclose(dot, 1.0, atol=1e-8)
+    # transform + inverse round trip against dense ops
+    modes = ppca_transform(mesh, xj, comps_d)
+    np.testing.assert_allclose(np.asarray(modes), x @ np.asarray(comps_d).T,
+                               rtol=1e-8, atol=1e-8)
+    recon = ppca_inverse(mesh, modes, comps_d)
+    np.testing.assert_allclose(np.asarray(recon),
+                               np.asarray(modes) @ np.asarray(comps_d),
+                               rtol=1e-8, atol=1e-8)
