@@ -1,0 +1,220 @@
+"""Production tooling: event selection, run maker (FakeDss), plotting, CV."""
+
+import json
+import sqlite3
+from datetime import datetime, timedelta
+from pathlib import Path
+
+import numpy as np
+import pandas as pd
+import pytest
+
+import fixtures as fx
+
+
+# ------------------------------------------------------------- event selection
+
+def make_sst_parquet(path: Path, n_events: int = 60, t_steps: int = 48,
+                     seed: int = 0) -> None:
+    rng = np.random.default_rng(seed)
+    rows = []
+    base = datetime(2020, 1, 1)
+    for e in range(n_events):
+        scale = np.exp(rng.normal(0.0, 1.0))
+        h = fx.hydrograph(t_steps, peak=scale * 100)
+        precip = np.cumsum(np.abs(rng.normal(scale, 0.3, size=t_steps)))
+        for t in range(t_steps):
+            rows.append({"event_id": e, "datetime": base + timedelta(hours=t),
+                         "precip-cum": precip[t], "precip-excess": h[t] / 50,
+                         "inflow": h[t]})
+    pd.DataFrame(rows).to_parquet(path)
+
+
+def test_block_maxima_return_periods_monotone():
+    from gpras_tpu.pipeline.event_selection import block_maxima_return_periods
+
+    rng = np.random.default_rng(0)
+    v = rng.exponential(size=200)
+    rp = block_maxima_return_periods(v, arrival_rate=10)
+    order = np.argsort(v)
+    assert np.all(np.diff(rp[order]) >= -1e-9)  # larger value -> larger RP
+    assert rp.max() > rp.min()
+
+
+def test_event_selection_end_to_end(tmp_path):
+    from gpras_tpu.pipeline.event_selection import EventSelection, write_events_stac
+
+    pq = tmp_path / "sst.pq"
+    make_sst_parquet(pq)
+    sel = EventSelection(str(pq), arrival_rate=5, test_rp_range=[1.2, 50])
+    storms, event_max = sel.run_selection(
+        n_train_storms=20, n_test_storms=6,
+        target_rps=[2, 5, 10, 25])
+    assert (storms["Type"] == "Train").sum() == 20
+    assert (storms["Type"] == "Test").sum() == 6
+    # no overlap between train and test
+    train_ids = set(storms[storms["Type"] == "Train"].event_id)
+    test_ids = set(storms[storms["Type"] == "Test"].event_id)
+    assert not train_ids & test_ids
+    assert {"Max", "AEP", "Diverse"} <= set(storms["Set"])
+    stac = write_events_stac(storms, "s3://bucket/events", tmp_path / "events.stac.json")
+    assert stac["properties"]["train_event_count"] == 20
+    assert stac["properties"]["test_event_count"] == 6
+    assert len(stac["assets"]) == 26
+
+
+# ------------------------------------------------------------------- run maker
+
+def test_run_maker_end_to_end(tmp_path):
+    from gpras_tpu.data.dss import FakeDss, FakeRecord, set_dss_factory
+    from gpras_tpu.pipeline import run_maker as rm
+    from gpras_tpu.data.flow_file import UnsteadyFlowFile
+
+    set_dss_factory(FakeDss)
+    try:
+        proj = fx.make_project(tmp_path / "model", "mm", nx=2, ny=2, cell=1.0,
+                               plans=["base"])
+        # template flow file with one hydrograph BC + one normal-depth BC
+        from gpras_tpu.data.flow_file import FlowHydrographBC, NormalDepthBC
+
+        tpl = UnsteadyFlowFile("template")
+        tpl.boundary_conditions.bcs.append(FlowHydrographBC(
+            interval="1HOUR", dss_file="x.dss", dss_path="//OLD/FLOW-BASE/OLD//",
+            sa_2d_id=" " * 16, mesh_name="mesh1".ljust(16),
+            bc_line_id="bc_west-fork_s340_base".ljust(32)))
+        tpl.boundary_conditions.bcs.append(NormalDepthBC(
+            "0.004", "0", sa_2d_id=" " * 16, mesh_name="mesh1".ljust(16),
+            bc_line_id="bc_out".ljust(32)))
+        tpl_path = tmp_path / "template.u99"
+        tpl.to_file(str(tpl_path))
+
+        # fake SST dss with the matching element
+        times = [datetime(2020, 1, 1) + timedelta(hours=h) for h in range(100)]
+        src_dss = tmp_path / "SST.dss"
+        src_dss.write_bytes(b"fake")
+        flow_dss_abs = tmp_path / "model" / "gpr_dss_files" / "flow_boundaries" / "ev1.dss"
+        FakeDss.register(str(flow_dss_abs), {
+            "/TRINITY/west-fork_s340/FLOW-BASE/WRONGDATES/1HOUR/RUN:X/":
+                FakeRecord(values=np.linspace(0, 50, 100), times=times),
+        })
+
+        settings = rm.Settings(
+            ras_prj_path=str(tmp_path / "model" / "mm.prj"),
+            template_flow_path=str(tpl_path),
+            flow_dss_path_src=str(src_dss),
+            precip_hdf_path="",  # skip precip for this test
+            flow_title="ev1", plan_title="ev1", plan_short_id="ev1")
+        rm.add_run(settings)
+
+        # flow file written + registered
+        assert settings.flow_file_path.endswith(".u01")
+        flow = UnsteadyFlowFile.from_file(settings.flow_file_path)
+        hyd = [b for b in flow.boundary_conditions.bcs
+               if isinstance(b, FlowHydrographBC)]
+        assert hyd[0].dss_file == "./gpr_dss_files/flow_boundaries/ev1.dss"
+        # the D part was rewritten to the event window
+        assert "01JAN2020-05JAN2020" in hyd[0].dss_path
+        # plan file with simulation dates + flow suffix
+        from gpras_tpu.data.plan_file import PlanFile
+
+        plan = PlanFile.from_file(settings.plan_file_path)
+        assert plan.settings["Flow File"] == "u01"
+        assert plan.settings["Simulation Date"].startswith("01JAN2020")
+        prj_text = (tmp_path / "model" / "mm.prj").read_text()
+        assert "Unsteady File=u01" in prj_text
+        assert "Plan File=p01" in prj_text
+    finally:
+        set_dss_factory(None)
+
+
+def test_clean_ffrd_bc():
+    from gpras_tpu.pipeline.run_maker import clean_ffrd_bc
+
+    assert clean_ffrd_bc(" bc_west-fork_s340_base ") == "west-fork_s340"
+    assert clean_ffrd_bc("bc_x") == "x"
+    assert clean_ffrd_bc("plain") == "plain"
+
+
+# -------------------------------------------------------------------- plotting
+
+def test_plotting_suite_smoke(tmp_path):
+    import gpras_tpu.plotting as pl
+
+    rng = np.random.default_rng(0)
+    x = rng.normal(size=(50, 4))
+    y = x + 0.1 * rng.normal(size=(50, 4))
+    pl.ec_pairplot(x, y, 3, tmp_path / "pair.png", inducing=rng.normal(size=(5, 4)))
+    assert (tmp_path / "pair.png").exists()
+    idx = pd.MultiIndex.from_product([["e1"], range(50)])
+    pl.ec_timeseries(x, y, np.abs(y) * 0.1, 2, idx, tmp_path / "ects")
+    assert (tmp_path / "ects" / "e1.png").exists()
+    pl.pca_variance_summary(np.array([10.0, 5, 2, 1, 0.5]), 3, tmp_path / "pca.png")
+    hf = rng.normal(size=(30, 20))
+    pl.performance_scatterplot(hf + 0.5, hf, hf + 0.1, tmp_path / "scatter.png")
+    pl.performance_cdf(hf + 0.5, hf, hf + 0.1, tmp_path / "cdf.png")
+    pl.ts_clipping(np.abs(rng.normal(size=(40, 5))), (5, 35), tmp_path / "clip.png")
+    pl.plot_rating_curve(np.abs(rng.normal(size=50)) * 100 + 20,
+                         rng.normal(size=50) + 100,
+                         np.linspace(20, 300, 100), np.linspace(99, 102, 100),
+                         tmp_path / "rc.png")
+    pl.plot_centerline_interpolater(np.linspace(0, 100, 10),
+                                    np.linspace(0, 1, 10), tmp_path / "cl.png")
+    # metric-db-driven plots
+    cells = pd.DataFrame({"cell_id": range(20), "x": rng.normal(size=20),
+                          "y": rng.normal(size=20)})
+    db = tmp_path / "m.db"
+    with sqlite3.connect(db) as con:
+        pd.DataFrame({"event": ["e1"] * 20, "cell_id": range(20),
+                      "rmse_cell_toi": rng.random(20),
+                      "err_cell_mts": rng.normal(size=20),
+                      "err_cell_toi": rng.normal(size=20)}).to_sql(
+            "cell_metrics", con, index=False)
+        pd.DataFrame({"event": ["e1"] * 30, "timestep": range(30),
+                      "rmse_aoi_ts": rng.random(30),
+                      "err_aoi_ts": rng.normal(size=30)}).to_sql(
+            "timeseries_metrics", con, index=False)
+        pd.DataFrame({"event": ["e1"], "nse_aoi_mts": [0.9],
+                      "err_aoi_mts": [0.1], "fi_aoi_toi": [0.8]}).to_sql(
+            "scalar_metrics", con, index=False)
+    pl.map_mesh_errors(cells, db, tmp_path / "maps", "rmse", "rmse_cell_toi", "RMSE")
+    assert (tmp_path / "maps" / "e1_rmse.png").exists()
+    pl.plot_timeseries_metrics(db, tmp_path / "tsm",
+                               ["rmse_aoi_ts", "err_aoi_ts"], ["RMSE", "ME"])
+    assert (tmp_path / "tsm" / "e1.png").exists()
+    pl.summary_plots(db, tmp_path / "sum", {
+        "scalar_metrics": {"nse_aoi_mts": "NSE"},
+        "timeseries_metrics": {"rmse_aoi_ts": "Temporal RMSE"}})
+    assert (tmp_path / "sum" / "summary_timeseries_metrics_rmse_aoi_ts.png").exists()
+    eofs = rng.normal(size=(3, 20))
+    pl.plot_eof_maps(eofs, list(range(20)), cells, tmp_path / "eofs", n_modes=2)
+    assert (tmp_path / "eofs" / "eof_1.png").exists()
+    depth = np.abs(rng.normal(size=(30, 20)))
+    idx2 = pd.MultiIndex.from_product([["e1"], range(30)])
+    pl.map_detection_categories(cells, depth, depth + 0.2, idx2.values,
+                                list(range(20)), tmp_path / "det",
+                                wet_threshold_depth=0.5)
+    assert (tmp_path / "det" / "e1_detection.png").exists()
+
+
+# ---------------------------------------------------------- cross-validation
+
+def test_cv_config_splits_within_training_set(tmp_path):
+    from gpras_tpu.pipeline.cross_validation import CVConfig
+
+    plans = [
+        {"plan_title": "a", "event_number": 1, "type": "Train", "set": "AEP"},
+        {"plan_title": "b", "event_number": 2, "type": "Train", "set": "Diverse"},
+        {"plan_title": "c", "event_number": 3, "type": "Test", "set": "Test"},
+    ]
+    ep = tmp_path / "ep.json"
+    ep.write_text(json.dumps(plans))
+    cfg = CVConfig(
+        working_directory=str(tmp_path / "w"), hf_ras_stac_path="x",
+        area_of_interest_path="x", event_plan_path=str(ep), mesh_id="m",
+        hydraulic_parameter="wse", wet_threshold_depth=0.5,
+        spatial_mode_count=2, kernel="RBF", inducing_pt_count=4,
+        optimizer="adam", induction_pt_initializer="kmeans",
+        optimizer_kwargs={}, generate_plots=False, save_dbs=False,
+        lf_model_type="ras_upskill")
+    assert cfg.train_plans == ["a"]
+    assert cfg.test_plans == ["b"]
