@@ -309,18 +309,57 @@ class RasUpskillDataBuilder(DataBuilder):
         return pd.DataFrame(vals, index=dt_index, columns=self.hf_resampler)
 
     def set_spatial_resamplers(self) -> None:
-        """Pair each HF cell with the dominant-overlap LF cell. The reference
-        computes exact polygon intersections and keeps the largest-area LF cell
-        per HF cell (gpras/preprocess.py:385-401); containment of the HF centroid
-        selects the same cell for convex meshes, implemented as a nearest-LF-
-        centroid query."""
+        """Pair each HF cell with the dominant-overlap LF cell (the reference's
+        largest-intersection-area rule, gpras/preprocess.py:385-401).
+
+        With the native geometry engine present this is **exact**: each HF cell
+        is clipped against its bbox-candidate LF cells (Sutherland-Hodgman) and
+        the largest intersection wins. Fallback: nearest-LF-centroid, which
+        picks the same cell for convex, well-resolved meshes."""
         if getattr(self, "lf_resampler", None) is not None and self.hf_resampler is not None:
             return
         super().set_spatial_resamplers()
         lf_idx_in_aoi = self._lf_mesh_aoi_indices
         lf_ids = self._lf_mesh.cell_ids[lf_idx_in_aoi]
+        exact = self._exact_max_overlap()
+        if exact is not None:
+            self.lf_resampler = exact
+            return
         nearest = self._lf_submesh_containing(self.hf_centroids_aoi)
         self.lf_resampler = lf_ids[nearest]
+
+    def _exact_max_overlap(self) -> np.ndarray | None:
+        """Exact largest-overlap LF cell per AOI HF cell via the native clipping
+        engine; None when the engine is unavailable."""
+        from gpras_tpu import native
+
+        if not native.available():
+            return None
+        from scipy.spatial import cKDTree
+
+        lf_idx = self._lf_mesh_aoi_indices
+        lf_verts_all, lf_counts_all = self._lf_mesh.padded_vertices()
+        lf_verts = lf_verts_all[lf_idx]
+        lf_counts = lf_counts_all[lf_idx]
+        hf_verts_all, hf_counts_all = self._hf_mesh.padded_vertices()
+        hf_rows = np.nonzero(self._hf_mask)[0]
+        hf_verts = hf_verts_all[hf_rows]
+        hf_counts = hf_counts_all[hf_rows]
+        # bbox candidates: k nearest LF centroids covers every overlapper for
+        # meshes where LF cells are convex and comparable in size
+        lf_cents = self._lf_mesh.centroids[lf_idx]
+        k = min(9, len(lf_idx))
+        _, cand = cKDTree(lf_cents).query(self.hf_centroids_aoi, k=k)
+        cand = np.atleast_2d(cand.astype(np.int32))
+        if cand.ndim == 1:
+            cand = cand[:, None]
+        best, area = native.best_overlap_batch(hf_verts, hf_counts,
+                                               lf_verts, lf_counts, cand)
+        lf_ids = self._lf_mesh.cell_ids[lf_idx]
+        # cells with zero overlap (shouldn't happen inside the AOI): nearest
+        fallback = self._lf_submesh_containing(self.hf_centroids_aoi)
+        chosen = np.where(best >= 0, best, fallback)
+        return lf_ids[chosen]
 
     @cached_property
     def _lf_mesh(self):

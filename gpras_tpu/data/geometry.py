@@ -146,6 +146,16 @@ class CellMesh:
             in_bbox |= np.all((cell_min <= v) & (v <= cell_max), axis=1)
         return vertex_hit | centroid_hit | in_bbox
 
+    def padded_vertices(self) -> tuple[np.ndarray, np.ndarray]:
+        """(verts (C, V, 2) with padding repeating the first vertex,
+        counts (C,)) — the encoding the native clipping engine consumes."""
+        idx = self.face_point_indexes
+        valid = idx >= 0
+        counts = valid.sum(axis=1).astype(np.int32)
+        pts = self.face_points[np.clip(idx, 0, None)].astype(np.float64)
+        first = pts[:, :1, :]
+        return np.where(valid[..., None], pts, first), counts
+
     def containing_cell(self, pts: np.ndarray) -> np.ndarray:
         """For each query point, the index (into this mesh) of the cell whose
         centroid is nearest — the point-sampling primitive used for max-overlap
