@@ -56,13 +56,19 @@ def bench_exact_fit(n: int, steps: int = 10, d: int = 8) -> float:
 
     from gpras_tpu.gp import exact
 
+    from gpras_tpu.gp.exact_lean import make_lean_training_loss
+
     kernel = "Matern52"
     x, y = _make_data(n, d, jnp.float32)
     params = exact.init_params(kernel, x, noise_variance=0.1)
     opt = optax.adam(0.05)
+    # panel-scan backward: O(N*R) extra memory and a compile-friendly program
+    # (the dense backward's (N, N)-RHS triangular solve is both HBM-hungry and
+    # pathologically slow to compile at N >= 16k)
+    lean_loss = make_lean_training_loss(kernel, col_panel=2048)
 
     def loss_fn(p):
-        return exact.training_loss(kernel, p, x, y)
+        return lean_loss(p, x, y)
 
     @jax.jit
     def step(p, opt_state):

@@ -153,9 +153,19 @@ class GPRAS:
         self.fit_info = info
         self._cache = None
 
+    #: above this N the exact backend switches to the panel-scan backward
+    #: (gp/exact_lean.py) so the backward never materializes O(N^2) cotangents
+    LEAN_THRESHOLD = 8192
+
     def _loss_fn(self, params: dict[str, Array], y_i: Array) -> Array:
         if self.model_type == "sgpr":
             return sgpr.training_loss(self.kernel_str, params, self.x, y_i)
+        if self.x.shape[0] > self.LEAN_THRESHOLD:
+            from gpras_tpu.gp.exact_lean import make_lean_training_loss
+
+            if getattr(self, "_lean_loss", None) is None:
+                self._lean_loss = make_lean_training_loss(self.kernel_str)
+            return self._lean_loss(params, self.x, y_i)
         return exact_gp.training_loss(self.kernel_str, params, self.x, y_i)
 
     def _init_params(self, inducing_initializer: str) -> dict[str, Array]:
