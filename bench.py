@@ -128,23 +128,41 @@ def bench_predict_throughput(n: int = 4096, m: int = 128, p_modes: int = 16,
     return s_events / dt
 
 
+def _run_single(n: int, steps: int) -> None:
+    """Subprocess entry: bench one size, print elapsed seconds on stdout."""
+    elapsed = bench_exact_fit(n, steps=steps)
+    print(f"ELAPSED {elapsed:.6f}")
+
+
 def main() -> None:
+    import subprocess
+
     steps = int(os.environ.get("GPRAS_BENCH_STEPS", "10"))
-    # Peak memory for the custom-VJP fit step is ~5 f32 N^2 buffers (K, L,
-    # K^-1, K_bar, gram residuals): 24576 -> ~12 GB, near the v5e's 16 GB HBM.
-    # N=50k needs the planned panel-scan backward; until then the ladder tops
-    # out at 24576 (override with GPRAS_BENCH_NS).
+    # Ladder of exact-GP sizes. The lean panel-scan backward keeps all of these
+    # inside 16 GB HBM; each size runs in a SUBPROCESS with a timeout because
+    # first-time compiles through the remote-compile relay can take tens of
+    # minutes (cached compiles return in seconds on repeat runs).
     ladder = [int(v) for v in os.environ.get(
         "GPRAS_BENCH_NS", "16384,8192").split(",")]
+    timeout = float(os.environ.get("GPRAS_BENCH_TIMEOUT", "2700"))
     elapsed = None
     n_used = None
     for n in ladder:
         try:
-            elapsed = bench_exact_fit(n, steps=steps)
-            n_used = n
-            break
-        except Exception as e:  # OOM or numerical failure -> smaller N
-            print(f"# n={n} failed: {type(e).__name__}: {str(e)[:200]}",
+            proc = subprocess.run(
+                [sys.executable, os.path.abspath(__file__), "--single", str(n),
+                 str(steps)],
+                capture_output=True, text=True, timeout=timeout)
+            for line in proc.stdout.splitlines():
+                if line.startswith("ELAPSED "):
+                    elapsed = float(line.split()[1])
+                    n_used = n
+                    break
+            if elapsed is not None:
+                break
+            print(f"# n={n} failed: {proc.stderr[-300:]}", file=sys.stderr)
+        except subprocess.TimeoutExpired:
+            print(f"# n={n} timed out after {timeout}s (cold compile?)",
                   file=sys.stderr)
             continue
     if elapsed is None:
@@ -167,4 +185,7 @@ def main() -> None:
 
 
 if __name__ == "__main__":
-    main()
+    if len(sys.argv) > 1 and sys.argv[1] == "--single":
+        _run_single(int(sys.argv[2]), int(sys.argv[3]))
+    else:
+        main()

@@ -1,0 +1,55 @@
+"""Serving-side predictor: bucketing, warmup, full-field composition."""
+
+import numpy as np
+import jax.numpy as jnp
+
+from gpras_tpu.eof.preprocessor import PreProcessor
+from gpras_tpu.gp.model import GPRAS
+from gpras_tpu.gp.serving import PosteriorPredictor
+
+
+def test_predictor_round_trip(tmp_path):
+    rng = np.random.default_rng(0)
+    n, d, p = 30, 2, 2
+    x = rng.normal(size=(n, d))
+    y = np.stack([np.sin(x[:, 0]) * (i + 1) for i in range(p)], axis=1)
+    model = GPRAS("RBF", dtype=jnp.float64)
+    model.fit(x, y, n_inducing=8, optimization_method="adam", max_iter=20)
+    path = tmp_path / "gpr.npz"
+    model.to_file(path)
+
+    pred = PosteriorPredictor(path, buckets=(16, 64))
+    mean_direct, var_direct = model.predict(x)
+    mean_served, var_served = pred.predict_modes(x)  # n=30 -> bucket 64 (padded)
+    np.testing.assert_allclose(mean_served, mean_direct, rtol=1e-8)
+    np.testing.assert_allclose(var_served, var_direct, rtol=1e-8)
+    # small batch -> smaller bucket, same values
+    m2, v2 = pred.predict_modes(x[:5])
+    np.testing.assert_allclose(m2, mean_direct[:5], rtol=1e-8)
+    pred.warmup()
+
+
+def test_predict_field_composes_preprocessors(tmp_path):
+    rng = np.random.default_rng(1)
+    s, c = 40, 50
+    t = np.linspace(0, 1, s)
+    field = np.outer(np.sin(2 * np.pi * t), rng.normal(size=c)) * 3 + 10
+    elev = np.full(c, -50.0)
+    pre = PreProcessor(hydraulic_parameter="wse")
+    pre.fit(field, elev, spatial_mode_count=3)
+    modes = pre.transform(field)
+    model = GPRAS("RBF", dtype=jnp.float64)
+    model.fit(modes, modes, n_inducing=8, optimization_method="adam", max_iter=30)
+    model.to_file(tmp_path / "gpr.npz")
+    pre.to_file(tmp_path / "pre.npz")
+
+    pred = PosteriorPredictor(tmp_path / "gpr.npz",
+                              hf_preprocessor_path=tmp_path / "pre.npz",
+                              buckets=(64,))
+    out_field, out_var = pred.predict_field(field)
+    assert out_field.shape == field.shape
+    assert out_var.shape == field.shape
+    assert np.all(out_var >= 0)
+    # identity-ish mapping: reconstruction should track the input closely
+    rmse = np.sqrt(np.mean((out_field - field) ** 2))
+    assert rmse < 1.0, rmse
