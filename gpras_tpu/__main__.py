@@ -36,6 +36,7 @@ def main(argv: list[str] | None = None) -> int:
     sel_p.add_argument("--n-test", type=int, default=14)
     sel_p.add_argument("--target-rps", default="2,5,10,25,50,100,200,500,1000,2000")
     sel_p.add_argument("--s3-prefix", default="s3://events")
+    sel_p.add_argument("--test-rp-range", default="5,2000")
 
     mk_p = sub.add_parser("make-runs", help="generate HEC-RAS runs for selected events")
     mk_p.add_argument("settings")
@@ -60,7 +61,8 @@ def main(argv: list[str] | None = None) -> int:
     elif args.cmd == "select-events":
         from gpras_tpu.pipeline.event_selection import EventSelection, write_events_stac
 
-        sel = EventSelection(args.parquet)
+        rp_range = [float(v) for v in args.test_rp_range.split(",")]
+        sel = EventSelection(args.parquet, test_rp_range=rp_range)
         storms, _ = sel.run_selection(
             args.n_train, args.n_test,
             [float(v) for v in args.target_rps.split(",")])

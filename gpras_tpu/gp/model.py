@@ -152,6 +152,10 @@ class GPRAS:
         self.params = fitted
         self.fit_info = info
         self._cache = None
+        if "losses" in info:
+            from gpras_tpu.utils.profiling import log_fit_losses
+
+            log_fit_losses(info, name=f"GPRAS[{self.kernel_str}/{self.model_type}]")
 
     #: above this N the exact backend switches to the panel-scan backward
     #: (gp/exact_lean.py) so the backward never materializes O(N^2) cotangents
