@@ -127,6 +127,9 @@ class GPRAS:
         Mirrors the reference's signature and defaults (gpras/gpr.py:237-275);
         ``n_inducing`` is ignored for the exact backend.
         """
+        if self.model_type == "sgpr" and n_inducing <= 0:
+            raise ValueError("sparse backend requires n_inducing > 0 "
+                             "(use model_type='exact' for a dense GP)")
         self.x = jnp.asarray(x, dtype=self.dtype)
         self.y = jnp.asarray(y, dtype=self.dtype)
         if self.y.ndim == 1:
