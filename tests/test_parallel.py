@@ -159,3 +159,23 @@ def test_ppca_matches_single_device():
     np.testing.assert_allclose(np.asarray(recon),
                                np.asarray(modes) @ np.asarray(comps_d),
                                rtol=1e-8, atol=1e-8)
+
+
+def test_sharded_multi_start_improves_loss():
+    from gpras_tpu.gp import sgpr
+    from gpras_tpu.parallel.pfit import sharded_multi_start
+
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.normal(size=(32, 2)))
+    y = jnp.asarray(np.sin(np.asarray(x)[:, 0]) + 0.05 * rng.normal(size=32))
+    params = sgpr.init_params("RBF", x, x[:6], noise_variance=0.5)
+
+    def loss_fn(p):
+        return sgpr.training_loss("RBF", p, x, y)
+
+    mesh = make_mesh()
+    before = float(loss_fn(params))
+    fitted, info = sharded_multi_start(mesh, loss_fn, params, x=x,
+                                       n_starts=8, iter_initial=5, iter_final=20)
+    assert float(info["loss"]) < before
+    assert info["restart_losses"].shape == (8,)
