@@ -56,33 +56,53 @@ def bench_exact_fit(n: int, steps: int = 10, d: int = 8) -> float:
 
     from gpras_tpu.gp import exact
 
-    from gpras_tpu.gp.exact_lean import make_lean_training_loss
-
     kernel = "Matern52"
     x, y = _make_data(n, d, jnp.float32)
     params = exact.init_params(kernel, x, noise_variance=0.1)
     opt = optax.adam(0.05)
-    # panel-scan backward: O(N*R) extra memory and a compile-friendly program
-    # (the dense backward's (N, N)-RHS triangular solve is both HBM-hungry and
-    # pathologically slow to compile at N >= 16k)
-    lean_loss = make_lean_training_loss(kernel, col_panel=2048)
+    mode = os.environ.get("GPRAS_BENCH_MODE", "lean")
+    if mode == "hutchinson":
+        # BBMM-style stochastic-trace backward: O(N^2) gradients
+        from gpras_tpu.gp.exact_stochastic import make_hutchinson_training_loss
 
-    def loss_fn(p):
-        return lean_loss(p, x, y)
+        h_loss = make_hutchinson_training_loss(kernel, probes=16, col_panel=4096)
 
-    @jax.jit
-    def step(p, opt_state):
-        loss, grads = jax.value_and_grad(loss_fn)(p)
-        updates, opt_state = opt.update(grads, opt_state, p)
-        p = optax.apply_updates(p, updates)
-        return p, opt_state, loss
+        @jax.jit
+        def step(p, opt_state, key):
+            key, sub = jax.random.split(key)
+            loss, grads = jax.value_and_grad(h_loss)(p, x, y, sub)
+            updates, opt_state = opt.update(grads, opt_state, p)
+            p = optax.apply_updates(p, updates)
+            return p, opt_state, loss, key
+    else:
+        # panel-scan exact backward: O(N*R) extra memory, compile-friendly
+        # (the dense backward's (N, N)-RHS triangular solve is both HBM-hungry
+        # and pathologically slow to compile at N >= 16k)
+        from gpras_tpu.gp.exact_lean import make_lean_training_loss
+
+        lean_loss = make_lean_training_loss(kernel, col_panel=2048)
+
+        def loss_fn(p):
+            return lean_loss(p, x, y)
+
+        @jax.jit
+        def lean_step(p, opt_state):
+            loss, grads = jax.value_and_grad(loss_fn)(p)
+            updates, opt_state = opt.update(grads, opt_state, p)
+            p = optax.apply_updates(p, updates)
+            return p, opt_state, loss
+
+        def step(p, opt_state, key):
+            p, opt_state, loss = lean_step(p, opt_state)
+            return p, opt_state, loss, key
 
     opt_state = opt.init(params)
-    params, opt_state, loss = step(params, opt_state)  # compile + warmup
+    key = jax.random.PRNGKey(0)
+    params, opt_state, loss, key = step(params, opt_state, key)  # compile
     jax.block_until_ready(loss)
     t0 = time.perf_counter()
     for _ in range(steps):
-        params, opt_state, loss = step(params, opt_state)
+        params, opt_state, loss, key = step(params, opt_state, key)
     jax.block_until_ready(loss)
     elapsed = time.perf_counter() - t0
     if not np.isfinite(float(loss)):
