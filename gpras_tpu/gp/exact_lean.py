@@ -33,9 +33,23 @@ from gpras_tpu.ops import linalg
 Array = jax.Array
 
 
-def make_lean_nlml(kernel: str, col_panel: int = 2048):
+def make_lean_nlml(kernel: str, col_panel: int = 2048,
+                   blocked: int | None = None):
     """Returns ``nlml(params, x, y)`` (y strictly (N,)) with the panel-scan
-    backward; differentiable w.r.t. params and y."""
+    backward; differentiable w.r.t. params and y.
+
+    ``blocked=b`` swaps the XLA cholesky/solves for the in-place fori_loop
+    blocked kernels (ops/block_cholesky.py): flat compile time at any N and a
+    single O(N^2) buffer for the factorization — the N >= 50k configuration."""
+
+    if blocked is not None:
+        from gpras_tpu.ops.block_cholesky import blocked_cho_solve, blocked_cholesky
+
+        chol = lambda k: blocked_cholesky(k, blocked)
+        solve = lambda l, r: blocked_cho_solve(l, r, blocked)
+    else:
+        chol = jnp.linalg.cholesky
+        solve = linalg.cho_solve
 
     def forward(params, x, y):
         n = x.shape[0]
@@ -43,8 +57,8 @@ def make_lean_nlml(kernel: str, col_panel: int = 2048):
         jitter = linalg.default_jitter(x.dtype) * jnp.exp(params["log_variance"])
         k = K.gram(kernel, params, x)
         k = k + (noise + jitter) * jnp.eye(n, dtype=k.dtype)
-        l = jnp.linalg.cholesky(k)
-        alpha = linalg.cho_solve(l, y[:, None])[:, 0]
+        l = chol(k)
+        alpha = solve(l, y[:, None])[:, 0]
         quad = 0.5 * jnp.vdot(y, alpha)
         logdet = linalg.logdet_from_chol(l)
         out = quad + 0.5 * logdet + 0.5 * n * math.log(2.0 * math.pi)
@@ -75,7 +89,7 @@ def make_lean_nlml(kernel: str, col_panel: int = 2048):
             grads_acc, diag_acc = carry
             cols = j * r + jnp.arange(r)
             eye_cols = (jnp.arange(n)[:, None] == cols[None, :]).astype(x.dtype)
-            z = linalg.cho_solve(l, eye_cols)  # (N, R) columns of K^{-1}
+            z = solve(l, eye_cols)  # (N, R) columns of K^{-1}
             kbar = 0.5 * g * (z - alpha[:, None] * alpha[cols][None, :])
             diag_acc = diag_acc + jnp.sum(kbar[cols, jnp.arange(r)])
             grads_t = contract_tile(params, x[cols], kbar)
@@ -95,9 +109,10 @@ def make_lean_nlml(kernel: str, col_panel: int = 2048):
     return nlml
 
 
-def make_lean_training_loss(kernel: str, col_panel: int = 2048):
+def make_lean_training_loss(kernel: str, col_panel: int = 2048,
+                            blocked: int | None = None):
     """Lean NLML minus the log prior (the optimizer objective)."""
-    nlml = make_lean_nlml(kernel, col_panel)
+    nlml = make_lean_nlml(kernel, col_panel, blocked)
 
     def loss(params, x, y):
         return nlml(params, x, y) - log_prior(params)

@@ -53,3 +53,18 @@ def test_lean_training_loss_includes_prior():
     loss = make_lean_training_loss("RBF", col_panel=16)
     want = float(exact.training_loss("RBF", params, x, y))
     np.testing.assert_allclose(float(loss(params, x, y)), want, rtol=1e-10)
+
+
+def test_lean_blocked_matches_dense():
+    """blocked=b (fori_loop cholesky/solves) gives identical values and grads."""
+    x, y = make_data(n=48, seed=5)
+    params = exact.init_params("Matern52", x, noise_variance=0.2)
+    lean_b = make_lean_nlml("Matern52", col_panel=16, blocked=16)
+    np.testing.assert_allclose(float(lean_b(params, x, y)),
+                               float(exact.nlml("Matern52", params, x, y)),
+                               rtol=1e-9)
+    g_b = jax.grad(lean_b)(params, x, y)
+    g_dense = jax.grad(lambda p: exact.nlml("Matern52", p, x, y))(params)
+    for k in g_dense:
+        np.testing.assert_allclose(np.asarray(g_b[k]), np.asarray(g_dense[k]),
+                                   rtol=1e-7, atol=1e-9)
