@@ -60,12 +60,19 @@ def bench_exact_fit(n: int, steps: int = 10, d: int = 8) -> float:
     x, y = _make_data(n, d, jnp.float32)
     params = exact.init_params(kernel, x, noise_variance=0.1)
     opt = optax.adam(0.05)
-    mode = os.environ.get("GPRAS_BENCH_MODE", "lean")
+    mode = os.environ.get("GPRAS_BENCH_MODE", "auto")
+    if mode == "auto":
+        # >= 32k: the XLA cholesky lowering takes unbounded compile time and
+        # needs separate K+L buffers; switch to the BBMM-style stochastic
+        # backward over the in-place super-panel factorization.
+        mode = "hutchinson" if n >= 32768 else "lean"
     if mode == "hutchinson":
         # BBMM-style stochastic-trace backward: O(N^2) gradients
         from gpras_tpu.gp.exact_stochastic import make_hutchinson_training_loss
 
-        h_loss = make_hutchinson_training_loss(kernel, probes=16, col_panel=4096)
+        chol = os.environ.get("GPRAS_BENCH_CHOL", "super" if n >= 32768 else "xla")
+        h_loss = make_hutchinson_training_loss(
+            kernel, probes=16, col_panel=4096, chol=chol)
 
         @jax.jit
         def step(p, opt_state, key):
@@ -99,13 +106,18 @@ def bench_exact_fit(n: int, steps: int = 10, d: int = 8) -> float:
     opt_state = opt.init(params)
     key = jax.random.PRNGKey(0)
     params, opt_state, loss, key = step(params, opt_state, key)  # compile
-    jax.block_until_ready(loss)
+    # On the axon (tunneled-TPU) platform block_until_ready is not a reliable
+    # barrier and compiles are deferred; a scalar device->host fetch is the
+    # only true synchronization. Fetch after warmup (forces compile+exec) and
+    # fetch the final loss INSIDE the timed region (forces the whole chain).
+    if not np.isfinite(float(loss)):
+        raise RuntimeError(f"non-finite warmup loss at n={n}")
     t0 = time.perf_counter()
     for _ in range(steps):
         params, opt_state, loss, key = step(params, opt_state, key)
-    jax.block_until_ready(loss)
+    final_loss = float(loss)
     elapsed = time.perf_counter() - t0
-    if not np.isfinite(float(loss)):
+    if not np.isfinite(final_loss):
         raise RuntimeError(f"non-finite loss at n={n}")
     return elapsed
 
@@ -138,12 +150,16 @@ def bench_predict_throughput(n: int = 4096, m: int = 128, p_modes: int = 16,
         )(b, c)
 
     out = predict(batched, cache, xq)
-    jax.block_until_ready(out)
+    float(out[0].ravel()[0])  # axon: scalar fetch = the only real barrier
     t0 = time.perf_counter()
     reps = 20
     for _ in range(reps):
-        out = predict(batched, cache, xq)
-    jax.block_until_ready(out)
+        # Chain each rep's queries on the previous output so the relay
+        # cannot memoize identical executions (same executable + same
+        # buffers would otherwise dedupe to one run).
+        q = xq + out[0].ravel()[0] * jnp.float32(1e-30)
+        out = predict(batched, cache, q)
+    float(out[0].ravel()[0])
     dt = (time.perf_counter() - t0) / reps
     return s_events / dt
 
@@ -163,7 +179,7 @@ def main() -> None:
     # first-time compiles through the remote-compile relay can take tens of
     # minutes (cached compiles return in seconds on repeat runs).
     ladder = [int(v) for v in os.environ.get(
-        "GPRAS_BENCH_NS", "16384,8192").split(",")]
+        "GPRAS_BENCH_NS", "49152,32768,16384,8192").split(",")]
     timeout = float(os.environ.get("GPRAS_BENCH_TIMEOUT", "2700"))
     elapsed = None
     n_used = None

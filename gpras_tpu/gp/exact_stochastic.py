@@ -35,17 +35,55 @@ from gpras_tpu.ops import linalg
 Array = jax.Array
 
 
-def make_hutchinson_nlml(kernel: str, probes: int = 16, col_panel: int = 4096):
-    """Returns ``nlml(params, x, y, key)`` with the stochastic backward."""
+def make_hutchinson_nlml(kernel: str, probes: int = 16, col_panel: int = 4096,
+                         chol: str = "xla", chol_w: int = 2048,
+                         chol_strip: int = 16384,
+                         chol_precision: str = "high"):
+    """Returns ``nlml(params, x, y, key)`` with the stochastic backward.
+
+    ``chol`` picks the factorization/solve engine:
+    - ``"xla"``: jnp.linalg.cholesky — fastest compile at small/moderate N,
+      but its lowering (and HBM footprint: separate K and L buffers) grows
+      with N; impractical beyond ~16k on one chip in this stack.
+    - ``"super"``: ops.block_cholesky.super_cholesky (shrinking static
+      trailing updates, in-place, ~1.8x faster than the XLA factorization at
+      N=16k and flat compile cost) + flat-compile panel solves. The N>=32k
+      configuration. ``chol_precision`` sets its MXU matmul precision —
+      "high" (bf16_3x, f32-equivalent, the stable default) / "highest" /
+      "default" (1-pass bf16: fast but diverges once the fitted noise gets
+      small, see super_cholesky's docstring). The forward Gram also switches
+      to the fused Pallas builder so K occupies a single (N, N) buffer with
+      the noise diagonal added in-kernel.
+    - ``"blocked"``: ops.block_cholesky.blocked_cholesky (fori_loop masked
+      full-width updates) — kept for tiny-HLO debugging.
+    """
+
+    if chol == "super":
+        from gpras_tpu.ops.block_cholesky import blocked_cho_solve, super_cholesky
+        from gpras_tpu.ops.pallas_gram import gram as fused_gram
+        chol_fn = lambda k: super_cholesky(k, chol_w, chol_strip, chol_precision)
+        solve_fn = lambda l, r: blocked_cho_solve(l, r, 512)
+    elif chol == "blocked":
+        from gpras_tpu.ops.block_cholesky import blocked_cho_solve, blocked_cholesky
+        fused_gram = None
+        chol_fn = lambda k: blocked_cholesky(k, chol_w)
+        solve_fn = lambda l, r: blocked_cho_solve(l, r, 512)
+    else:
+        fused_gram = None
+        chol_fn = jnp.linalg.cholesky
+        solve_fn = linalg.cho_solve
 
     def forward(params, x, y):
         n = x.shape[0]
         noise = jnp.exp(params["log_noise_variance"])
         jitter = linalg.default_jitter(x.dtype) * jnp.exp(params["log_variance"])
-        k = K.gram(kernel, params, x)
-        k = k + (noise + jitter) * jnp.eye(n, dtype=k.dtype)
-        l = jnp.linalg.cholesky(k)
-        alpha = linalg.cho_solve(l, y[:, None])[:, 0]
+        if fused_gram is not None:
+            k = fused_gram(kernel, params, x, noise=noise + jitter)
+        else:
+            k = K.gram(kernel, params, x)
+            k = k + (noise + jitter) * jnp.eye(n, dtype=k.dtype)
+        l = chol_fn(k)
+        alpha = solve_fn(l, y[:, None])[:, 0]
         quad = 0.5 * jnp.vdot(y, alpha)
         logdet = linalg.logdet_from_chol(l)
         return quad + 0.5 * logdet + 0.5 * n * math.log(2.0 * math.pi), (l, alpha)
@@ -66,7 +104,7 @@ def make_hutchinson_nlml(kernel: str, probes: int = 16, col_panel: int = 4096):
             r -= 1
         n_panels = n // r
         z = jax.random.rademacher(key, (n, probes), dtype=x.dtype)
-        w = linalg.cho_solve(l, z)  # (N, m): K^{-1} Z
+        w = solve_fn(l, z)  # (N, m): K^{-1} Z
         inv_m = 1.0 / probes
 
         def panel_step(j, carry):
@@ -95,8 +133,8 @@ def make_hutchinson_nlml(kernel: str, probes: int = 16, col_panel: int = 4096):
 
 
 def make_hutchinson_training_loss(kernel: str, probes: int = 16,
-                                  col_panel: int = 4096):
-    nlml = make_hutchinson_nlml(kernel, probes, col_panel)
+                                  col_panel: int = 4096, **chol_kwargs):
+    nlml = make_hutchinson_nlml(kernel, probes, col_panel, **chol_kwargs)
 
     def loss(params, x, y, key):
         return nlml(params, x, y, key) - log_prior(params)

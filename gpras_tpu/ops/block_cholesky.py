@@ -45,7 +45,9 @@ def blocked_cholesky(k: Array, b: int = 512) -> Array:
     def step(kb, kmat):
         g0 = kb * b
         a_kk = jax.lax.dynamic_slice(kmat, (_i32(g0), _i32(g0)), (b, b))
-        l_kk = jnp.linalg.cholesky(a_kk)
+        # symmetrize_input=False: callers (super_cholesky) may hold stale
+        # values in the upper triangle; only the lower triangle is valid.
+        l_kk = jax.lax.linalg.cholesky(a_kk, symmetrize_input=False)
         col = jax.lax.dynamic_slice(kmat, (_i32(0), _i32(g0)), (n, b))
         l_col = jax.scipy.linalg.solve_triangular(l_kk, col.T, lower=True).T
         below = (gidx >= g0 + b)[:, None]
@@ -60,6 +62,83 @@ def blocked_cholesky(k: Array, b: int = 512) -> Array:
 
     k_done = jax.lax.fori_loop(0, nb, step, k)
     return jnp.tril(k_done)
+
+
+@partial(jax.jit, static_argnums=(1, 2, 3, 4))
+def super_cholesky(k: Array, w: int = 4096, strip: int = 8192,
+                   precision: str | bool = "high",
+                   inv_panel: bool = True) -> Array:
+    """Two-level blocked Cholesky with statically shrinking trailing updates.
+
+    ``blocked_cholesky`` keeps compile time flat by masking a full-width
+    rank-b update every panel — 6x the minimal trailing FLOPs. This variant
+    unrolls S = N/w super-panels in Python so every trailing slice is a
+    static shape that SHRINKS panel by panel: total work is the textbook
+    N^3/3 (+ the O(N^2 w) panel solves), while each HLO op stays a plain
+    matmul/slice whose compile cost is independent of N.
+
+    Per panel i (offset g = i*w):
+      1. factorize the (w, w) diagonal block with the flat-compile inner loop;
+      2. panel solve L21 = A21 L11^{-T} — ``inv_panel=True`` multiplies by the
+         explicitly inverted (w, w) triangle on the MXU (XLA's triangular
+         solve runs at ~1/5 matmul speed on TPU), ``inv_panel=False`` uses
+         the true triangular solve;
+      3. trailing update A22 -= L21 L21^T, chunked into ``strip``-column
+         blocks so the peak temporary is O((N-g) * strip), and restricted to
+         rows >= the strip start (the upper triangle is never referenced).
+
+    ``precision`` sets the MXU pass count of the panel/trailing matmuls and
+    is the stability/speed dial (measured on v5e, (N,4k)x(4k,N) syrk):
+    - ``"default"`` — one bf16 pass, ~76 TFLOP/s. eps ~ 2^-8 in the Schur
+      updates: UNSTABLE once cond(K) exceeds a few hundred. Only for
+      heavily-regularized matrices.
+    - ``"high"`` (default) — bf16_3x passes, f32-equivalent accumulation at
+      ~48 TFLOP/s; factor error tracks the f32 'highest' path to ~1e-6 on
+      GP kernel matrices while running ~1.8x faster.
+    - ``"highest"`` — XLA's full f32 passes, ~27 TFLOP/s.
+    Requires N % w == 0.
+    """
+    n = k.shape[0]
+    if n % w != 0:
+        raise ValueError(f"N={n} must be divisible by super-panel width {w}")
+    s = n // w
+    if isinstance(precision, bool):  # legacy fast=True/False boolean
+        precision = "default" if precision else "highest"
+    prec = precision
+    inner_b = min(512, w)
+    eye_w = jnp.eye(w, dtype=k.dtype)
+    for i in range(s):
+        g0 = i * w
+        diag = jax.lax.slice(k, (g0, g0), (g0 + w, g0 + w))
+        # symmetrize_input=False: the strip updates only maintain the lower
+        # triangle (upper holds stale values), and lax's default symmetrize
+        # would average the garbage in.
+        l11 = blocked_cholesky(diag, inner_b) if w > inner_b \
+            else jax.lax.linalg.cholesky(diag, symmetrize_input=False)
+        k = jax.lax.dynamic_update_slice(k, l11, (_i32(g0), _i32(g0)))
+        t = n - g0 - w
+        if t == 0:
+            continue
+        a21 = jax.lax.slice(k, (g0 + w, g0), (n, g0 + w))  # (t, w)
+        if inv_panel:
+            linv = jax.scipy.linalg.solve_triangular(l11, eye_w, lower=True)
+            l21 = jnp.matmul(a21, linv.T, precision=prec,
+                             preferred_element_type=k.dtype)
+        else:
+            l21 = jax.scipy.linalg.solve_triangular(l11, a21.T, lower=True).T
+        k = jax.lax.dynamic_update_slice(k, l21, (_i32(g0 + w), _i32(g0)))
+        c0 = g0 + w
+        for cs in range(c0, n, strip):
+            ce = min(cs + strip, n)
+            # Only rows >= cs of this column strip are ever read again.
+            block = jax.lax.slice(k, (cs, cs), (n, ce))
+            lrow = jax.lax.slice(l21, (cs - c0, 0), (t, w))
+            lcol = jax.lax.slice(l21, (cs - c0, 0), (ce - c0, w))
+            upd = jnp.matmul(lrow, lcol.T, precision=prec,
+                             preferred_element_type=k.dtype)
+            k = jax.lax.dynamic_update_slice(k, block - upd,
+                                             (_i32(cs), _i32(cs)))
+    return jnp.tril(k)
 
 
 @partial(jax.jit, static_argnums=(2,))
@@ -113,8 +192,19 @@ def blocked_solve_upper(l: Array, rhs: Array, b: int = 512) -> Array:
     return jax.lax.fori_loop(0, nb, step, jnp.zeros_like(rhs))
 
 
+def fit_block(n: int, target: int = 512) -> int:
+    """Largest block size <= target that divides n."""
+    b = min(target, n)
+    while n % b != 0:
+        b -= 1
+    return b
+
+
 def blocked_cho_solve(l: Array, rhs: Array, b: int = 512) -> Array:
-    """(L L^T)^{-1} rhs using the flat-compile panel solves."""
+    """(L L^T)^{-1} rhs using the flat-compile panel solves.
+
+    ``b`` is a target: it is shrunk to the largest divisor of N <= b."""
+    b = fit_block(l.shape[0], b)
     rhs2 = rhs[:, None] if rhs.ndim == 1 else rhs
     y = blocked_solve_lower(l, rhs2, b)
     x = blocked_solve_upper(l, y, b)

@@ -50,3 +50,41 @@ def test_blocked_solves_match_dense():
 def test_bad_block_size_raises():
     with pytest.raises(ValueError):
         blocked_cholesky(make_spd(), 7)
+
+
+def test_super_cholesky_matches_xla():
+    """Shrinking-panel two-level factorization: exact agreement incl. ragged
+    strips (strip not aligned to the panel width) and both precision modes."""
+    from gpras_tpu.ops.block_cholesky import super_cholesky
+
+    rng = np.random.default_rng(3)
+    for n, w, strip in [(96, 32, 48), (128, 32, 128), (64, 64, 64)]:
+        a = rng.normal(size=(n, 16))
+        k = jnp.asarray(a @ a.T + n * np.eye(n))
+        ref = np.asarray(jnp.linalg.cholesky(k))
+        for fast in (True, False):
+            got = np.asarray(super_cholesky(k, w, strip, fast))
+            np.testing.assert_allclose(got, ref, rtol=1e-9, atol=1e-9,
+                                       err_msg=f"n={n} w={w} strip={strip} fast={fast}")
+
+
+def test_super_cholesky_ignores_stale_upper_triangle():
+    """Regression: the strip updates only maintain the lower triangle, so the
+    factorization must never read the (stale) upper part. Feeding a matrix
+    with garbage above the diagonal must still factor the lower part right."""
+    from gpras_tpu.ops.block_cholesky import super_cholesky
+
+    rng = np.random.default_rng(4)
+    a = rng.normal(size=(96, 16))
+    k = a @ a.T + 96 * np.eye(96)
+    garbage = np.triu(rng.normal(size=(96, 96)) * 100.0, k=1)
+    ref = np.asarray(jnp.linalg.cholesky(jnp.asarray(k)))
+    got = np.asarray(super_cholesky(jnp.asarray(k + garbage), 32, 48, True))
+    np.testing.assert_allclose(got, ref, rtol=1e-9, atol=1e-9)
+
+
+def test_super_cholesky_bad_width_raises():
+    from gpras_tpu.ops.block_cholesky import super_cholesky
+
+    with pytest.raises(ValueError):
+        super_cholesky(make_spd(), 7)

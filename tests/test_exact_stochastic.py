@@ -88,3 +88,24 @@ def test_adam_converges_with_stochastic_gradients():
     f_exact = float(exact.nlml("RBF", p_exact, x, y))
     assert f_stoch < float(exact.nlml("RBF", params0, x, y))
     assert f_stoch < f_exact + 3.0, (f_stoch, f_exact)
+
+
+def test_super_chol_engine_matches_xla_engine():
+    """chol='super' (in-place super-panel factorization + flat-compile panel
+    solves + fused gram) must produce the same loss and gradients as the
+    default XLA engine at matching probes/key."""
+    x, y = make_data(n=64, d=3, seed=3)
+    params = exact.init_params("Matern52", x, noise_variance=0.2)
+    key = jax.random.PRNGKey(5)
+    ref_nlml = make_hutchinson_nlml("Matern52", probes=4, col_panel=16)
+    sup_nlml = make_hutchinson_nlml("Matern52", probes=4, col_panel=16,
+                                    chol="super", chol_w=16, chol_strip=24)
+    v_ref = float(ref_nlml(params, x, y, key))
+    v_sup = float(sup_nlml(params, x, y, key))
+    np.testing.assert_allclose(v_sup, v_ref, rtol=1e-8)
+    g_ref = jax.grad(lambda p: ref_nlml(p, x, y, key))(params)
+    g_sup = jax.grad(lambda p: sup_nlml(p, x, y, key))(params)
+    for name in g_ref:
+        np.testing.assert_allclose(np.asarray(g_sup[name]),
+                                   np.asarray(g_ref[name]), rtol=1e-6,
+                                   err_msg=name)
