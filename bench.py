@@ -62,17 +62,48 @@ def bench_exact_fit(n: int, steps: int = 10, d: int = 8) -> float:
     opt = optax.adam(0.05)
     mode = os.environ.get("GPRAS_BENCH_MODE", "auto")
     if mode == "auto":
-        # >= 32k: the XLA cholesky lowering takes unbounded compile time and
-        # needs separate K+L buffers; switch to the BBMM-style stochastic
-        # backward over the in-place super-panel factorization.
-        mode = "hutchinson" if n >= 32768 else "lean"
-    if mode == "hutchinson":
+        # Hutchinson (BBMM-style) stochastic-trace backward is the standard
+        # large-N exact-GP training loss (GPyTorch default); the O(N^3)
+        # panel-scan exact backward stays available as GPRAS_BENCH_MODE=lean.
+        # At >= 32k the XLA cholesky lowering additionally takes unbounded
+        # compile time and needs separate K+L buffers, so the factorization
+        # switches to the in-place super-panel engine.
+        mode = "hutchinson"
+    if mode == "cg":
+        # matrix-free BBMM (batched CG + SLQ): no (N, N) buffer at all —
+        # the N >= 64k single-chip regime.
+        from gpras_tpu.gp.exact_cg import make_cg_training_loss
+
+        iters = int(os.environ.get("GPRAS_BENCH_CG_ITERS", "32"))
+        c_loss = make_cg_training_loss(kernel, probes=16, max_iters=iters,
+                                       row_panel=4096, col_panel=4096)
+
+        @jax.jit
+        def step(p, opt_state, key):
+            key, sub = jax.random.split(key)
+            loss, grads = jax.value_and_grad(c_loss)(p, x, y, sub)
+            updates, opt_state = opt.update(grads, opt_state, p)
+            p = optax.apply_updates(p, updates)
+            return p, opt_state, loss, key
+    elif mode == "hutchinson":
         # BBMM-style stochastic-trace backward: O(N^2) gradients
         from gpras_tpu.gp.exact_stochastic import make_hutchinson_training_loss
 
         chol = os.environ.get("GPRAS_BENCH_CHOL", "super" if n >= 32768 else "xla")
+        # strip temporaries are O(N * strip); at 49k the factor alone is
+        # ~9.7 GB of the 16 GB HBM, so narrow the strips there (narrow strips
+        # also waste less of the strip's own upper triangle: measured 10.2 s
+        # at strip=4096 vs 11.5 s at 12288 for the 10-step fit at N=49152).
+        strip = int(os.environ.get("GPRAS_BENCH_STRIP",
+                                   16384 if n <= 32768 else 4096))
+        # w=1024 beats 2048 at large N (9.5 s vs 10.2 s at 49152): the slow
+        # inner-diagonal factorization shrinks faster than the panel-solve
+        # count grows.
+        chol_w = int(os.environ.get("GPRAS_BENCH_CHOL_W",
+                                    2048 if n <= 32768 else 1024))
         h_loss = make_hutchinson_training_loss(
-            kernel, probes=16, col_panel=4096, chol=chol)
+            kernel, probes=16, col_panel=4096, chol=chol, chol_strip=strip,
+            chol_w=chol_w)
 
         @jax.jit
         def step(p, opt_state, key):

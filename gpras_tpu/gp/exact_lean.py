@@ -34,19 +34,36 @@ Array = jax.Array
 
 
 def make_lean_nlml(kernel: str, col_panel: int = 2048,
-                   blocked: int | None = None):
+                   blocked: int | None = None, engine: str | None = None,
+                   chol_w: int = 1024, chol_strip: int = 16384,
+                   chol_precision: str = "high"):
     """Returns ``nlml(params, x, y)`` (y strictly (N,)) with the panel-scan
     backward; differentiable w.r.t. params and y.
 
-    ``blocked=b`` swaps the XLA cholesky/solves for the in-place fori_loop
-    blocked kernels (ops/block_cholesky.py): flat compile time at any N and a
-    single O(N^2) buffer for the factorization — the N >= 50k configuration."""
+    ``engine`` picks the factorization/solve implementation:
+    - ``None``/"xla": jnp.linalg.cholesky + XLA solves (compile cost and the
+      K+L double buffer grow with N; fine to ~16k).
+    - ``"super"``: ops.block_cholesky.super_cholesky (in-place, shrinking
+      static trailing updates, flat compile — the N >= 32k configuration)
+      + flat-compile panel solves.
+    - ``"blocked"``: the masked full-width fori_loop factorization (tiny HLO,
+      ~3x slower; kept for debugging). ``blocked=b`` is the legacy spelling.
+    """
 
-    if blocked is not None:
+    if blocked is not None and engine is None:
+        engine = "blocked"
+    if engine == "super":
+        from gpras_tpu.ops.block_cholesky import blocked_cho_solve, super_cholesky
+
+        chol = lambda k: super_cholesky(k, chol_w, chol_strip, chol_precision,
+                                        zero_upper=False)
+        solve = lambda l, r: blocked_cho_solve(l, r, 512)
+    elif engine == "blocked":
         from gpras_tpu.ops.block_cholesky import blocked_cho_solve, blocked_cholesky
 
-        chol = lambda k: blocked_cholesky(k, blocked)
-        solve = lambda l, r: blocked_cho_solve(l, r, blocked)
+        b = blocked or 512
+        chol = lambda k: blocked_cholesky(k, b)
+        solve = lambda l, r: blocked_cho_solve(l, r, b)
     else:
         chol = jnp.linalg.cholesky
         solve = linalg.cho_solve
@@ -110,9 +127,9 @@ def make_lean_nlml(kernel: str, col_panel: int = 2048,
 
 
 def make_lean_training_loss(kernel: str, col_panel: int = 2048,
-                            blocked: int | None = None):
+                            blocked: int | None = None, **engine_kwargs):
     """Lean NLML minus the log prior (the optimizer objective)."""
-    nlml = make_lean_nlml(kernel, col_panel, blocked)
+    nlml = make_lean_nlml(kernel, col_panel, blocked, **engine_kwargs)
 
     def loss(params, x, y):
         return nlml(params, x, y) - log_prior(params)

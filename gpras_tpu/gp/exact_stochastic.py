@@ -61,7 +61,10 @@ def make_hutchinson_nlml(kernel: str, probes: int = 16, col_panel: int = 4096,
     if chol == "super":
         from gpras_tpu.ops.block_cholesky import blocked_cho_solve, super_cholesky
         from gpras_tpu.ops.pallas_gram import gram as fused_gram
-        chol_fn = lambda k: super_cholesky(k, chol_w, chol_strip, chol_precision)
+        # zero_upper=False: the tril is a second (N, N) buffer; the panel
+        # solves and diag logdet below never read above the diagonal.
+        chol_fn = lambda k: super_cholesky(k, chol_w, chol_strip,
+                                           chol_precision, zero_upper=False)
         solve_fn = lambda l, r: blocked_cho_solve(l, r, 512)
     elif chol == "blocked":
         from gpras_tpu.ops.block_cholesky import blocked_cho_solve, blocked_cholesky

@@ -98,11 +98,20 @@ class GPRAS:
         kernel: KernelType,
         model_type: ModelBackendType = "sgpr",
         dtype: Any = jnp.float32,
+        exact_engine: str = "auto",
     ) -> None:
+        """``exact_engine`` picks the exact-GP training loss ("auto" scales
+        with N: dense custom-VJP -> panel-scan lean backward (>8k, with the
+        in-place super-panel factorization >16k) -> matrix-free batched-CG
+        BBMM (>55k, no (N,N) buffer at all). Explicit values: "dense",
+        "lean", "hutchinson", "cg". Ignored for the sparse backend."""
         if kernel not in K.KERNEL_NAMES:
             raise ValueError(f"Unknown kernel {kernel!r}")
+        if exact_engine not in ("auto", "dense", "lean", "hutchinson", "cg"):
+            raise ValueError(f"Unknown exact_engine {exact_engine!r}")
         self.kernel_str: str = kernel
         self.model_type: str = model_type
+        self.exact_engine: str = exact_engine
         self.dtype = dtype
         self.params: dict[str, Array] | None = None  # batched: leading axis = mode
         self.fit_info: dict[str, Array] | None = None
@@ -163,15 +172,49 @@ class GPRAS:
     #: above this N the exact backend switches to the panel-scan backward
     #: (gp/exact_lean.py) so the backward never materializes O(N^2) cotangents
     LEAN_THRESHOLD = 8192
+    #: above this N the factorization also switches to the in-place
+    #: super-panel engine (ops/block_cholesky.py): the XLA cholesky lowering's
+    #: compile time and its separate K+L buffers are both impractical there
+    SUPER_THRESHOLD = 16384
+    #: above this N even one (N, N) buffer does not fit 16 GB HBM; the loss
+    #: goes matrix-free (gp/exact_cg.py, batched CG + SLQ)
+    CG_THRESHOLD = 55000
 
     def _loss_fn(self, params: dict[str, Array], y_i: Array) -> Array:
         if self.model_type == "sgpr":
             return sgpr.training_loss(self.kernel_str, params, self.x, y_i)
-        if self.x.shape[0] > self.LEAN_THRESHOLD:
+        n = self.x.shape[0]
+        engine = self.exact_engine
+        if engine == "auto":
+            if n > self.CG_THRESHOLD:
+                engine = "cg"
+            elif n > self.LEAN_THRESHOLD:
+                engine = "lean"
+            else:
+                engine = "dense"
+        if engine == "cg":
+            from gpras_tpu.gp.exact_cg import make_cg_training_loss
+
+            if getattr(self, "_cg_loss", None) is None:
+                self._cg_loss = make_cg_training_loss(self.kernel_str)
+            # SAA: a fixed probe set makes the objective deterministic, so
+            # every optimizer in the zoo (incl. L-BFGS line searches) works.
+            return self._cg_loss(params, self.x, y_i, jax.random.PRNGKey(0))
+        if engine == "hutchinson":
+            from gpras_tpu.gp.exact_stochastic import make_hutchinson_training_loss
+
+            if getattr(self, "_hutch_loss", None) is None:
+                chol = "super" if n > self.SUPER_THRESHOLD else "xla"
+                self._hutch_loss = make_hutchinson_training_loss(
+                    self.kernel_str, chol=chol)
+            return self._hutch_loss(params, self.x, y_i, jax.random.PRNGKey(0))
+        if engine == "lean":
             from gpras_tpu.gp.exact_lean import make_lean_training_loss
 
             if getattr(self, "_lean_loss", None) is None:
-                self._lean_loss = make_lean_training_loss(self.kernel_str)
+                lean_engine = "super" if n > self.SUPER_THRESHOLD else None
+                self._lean_loss = make_lean_training_loss(
+                    self.kernel_str, engine=lean_engine)
             return self._lean_loss(params, self.x, y_i)
         return exact_gp.training_loss(self.kernel_str, params, self.x, y_i)
 
@@ -202,6 +245,15 @@ class GPRAS:
                 lambda p, y_i: _sgpr_posterior_cache(self.kernel_str, p, self.x, y_i),
                 in_axes=(0, 1),
             )(self.params, self.y)
+        elif self._matrix_free:
+            # No (N, N) buffer fits: cache only alpha (batched CG solve);
+            # predict streams cross-Gram tiles + chunked variance solves.
+            from gpras_tpu.gp.exact_cg import cg_posterior_alpha
+
+            self._cache = (jax.vmap(
+                lambda p, y_i: cg_posterior_alpha(self.kernel_str, p, self.x, y_i),
+                in_axes=(0, 1),
+            )(self.params, self.y),)
         else:
             self._cache = jax.vmap(
                 lambda p, y_i: _exact_posterior_cache(self.kernel_str, p, self.x, y_i),
@@ -221,11 +273,27 @@ class GPRAS:
             mean, var = jax.vmap(
                 lambda p, cache: _sgpr_predict_from_cache(self.kernel_str, p, cache, xq)
             )(self.params, self._cache)
+        elif self._matrix_free:
+            from gpras_tpu.gp.exact_cg import cg_predict
+
+            mean, var = jax.vmap(
+                lambda p, a, y_i: cg_predict(self.kernel_str, p, self.x, y_i,
+                                             xq, alpha=a),
+                in_axes=(0, 0, 1),
+            )(self.params, self._cache[0], self.y)
         else:
             mean, var = jax.vmap(
                 lambda p, cache: _exact_predict_from_cache(self.kernel_str, p, cache, self.x, xq)
             )(self.params, self._cache)
         return np.asarray(mean.T), np.asarray(var.T)
+
+    @property
+    def _matrix_free(self) -> bool:
+        """True when the exact posterior must avoid any (N, N) buffer."""
+        if self.model_type != "exact" or self.x is None:
+            return False
+        return self.exact_engine == "cg" or (
+            self.exact_engine == "auto" and self.x.shape[0] > self.CG_THRESHOLD)
 
     # ------------------------------------------------------------ serialization
 

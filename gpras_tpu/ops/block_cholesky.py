@@ -64,10 +64,9 @@ def blocked_cholesky(k: Array, b: int = 512) -> Array:
     return jnp.tril(k_done)
 
 
-@partial(jax.jit, static_argnums=(1, 2, 3, 4))
 def super_cholesky(k: Array, w: int = 4096, strip: int = 8192,
                    precision: str | bool = "high",
-                   inv_panel: bool = True) -> Array:
+                   inv_panel: bool = True, zero_upper: bool = True) -> Array:
     """Two-level blocked Cholesky with statically shrinking trailing updates.
 
     ``blocked_cholesky`` keeps compile time flat by masking a full-width
@@ -97,6 +96,18 @@ def super_cholesky(k: Array, w: int = 4096, strip: int = 8192,
       GP kernel matrices while running ~1.8x faster.
     - ``"highest"`` — XLA's full f32 passes, ~27 TFLOP/s.
     Requires N % w == 0.
+
+    Deliberately NOT wrapped in ``jax.jit``: a nested jit boundary makes the
+    (N, N) input and the in-place update chain separate live buffers — at
+    N=49k that is 2 x 9.7 GB and an instant OOM. Traced inline in the
+    caller's jit, XLA's dynamic-update-slice aliasing keeps one buffer.
+
+    ``zero_upper=False`` skips the final ``tril`` and returns the factor with
+    STALE values above the diagonal — the ``tril`` is a second (N, N)
+    allocation XLA does not fuse away (it OOMed N=49k on its own). Safe for
+    every consumer that only reads the lower triangle: the blocked panel
+    solves (they mask), XLA ``triangular_solve`` (documented to access only
+    the ``lower`` triangle), and the diagonal logdet.
     """
     n = k.shape[0]
     if n % w != 0:
@@ -138,7 +149,7 @@ def super_cholesky(k: Array, w: int = 4096, strip: int = 8192,
                              preferred_element_type=k.dtype)
             k = jax.lax.dynamic_update_slice(k, block - upd,
                                              (_i32(cs), _i32(cs)))
-    return jnp.tril(k)
+    return jnp.tril(k) if zero_upper else k
 
 
 @partial(jax.jit, static_argnums=(2,))

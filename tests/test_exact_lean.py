@@ -68,3 +68,23 @@ def test_lean_blocked_matches_dense():
     for k in g_dense:
         np.testing.assert_allclose(np.asarray(g_b[k]), np.asarray(g_dense[k]),
                                    rtol=1e-7, atol=1e-9)
+
+
+def test_lean_super_engine_matches_xla():
+    """engine='super' (in-place super-panel chol + flat-compile solves) gives
+    the same NLML and gradients as the XLA engine."""
+    from gpras_tpu.gp.exact_lean import make_lean_nlml
+
+    x, y = make_data(n=64, d=3, seed=9)
+    params = exact.init_params("RBF", x, noise_variance=0.2)
+    ref = make_lean_nlml("RBF", col_panel=16)
+    sup = make_lean_nlml("RBF", col_panel=16, engine="super",
+                         chol_w=16, chol_strip=24)
+    np.testing.assert_allclose(float(sup(params, x, y)),
+                               float(ref(params, x, y)), rtol=1e-9)
+    g_ref = jax.grad(lambda p: ref(p, x, y))(params)
+    g_sup = jax.grad(lambda p: sup(p, x, y))(params)
+    for name in g_ref:
+        np.testing.assert_allclose(np.asarray(g_sup[name]),
+                                   np.asarray(g_ref[name]), rtol=1e-7,
+                                   err_msg=name)

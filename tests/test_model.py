@@ -80,3 +80,35 @@ def test_predict_before_fit_raises():
     model = GPRAS("RBF")
     with pytest.raises(RuntimeError):
         model.predict(np.zeros((3, D)))
+
+
+def test_exact_engine_variants_fit_and_predict():
+    """Every exact_engine value trains (SAA key for the stochastic ones) and
+    produces a posterior close to the dense engine on small data."""
+    import numpy as np
+    from gpras_tpu.gp.model import GPRAS
+
+    rng = np.random.default_rng(12)
+    x = rng.normal(size=(64, 2)).astype(np.float32)
+    y = (np.sin(x[:, 0]) + 0.05 * rng.normal(size=64)).astype(np.float32)[:, None]
+    xq = rng.normal(size=(16, 2)).astype(np.float32)
+
+    preds = {}
+    for engine in ("dense", "lean", "hutchinson", "cg"):
+        m = GPRAS("RBF", model_type="exact", exact_engine=engine)
+        m.fit(x, y, optimization_method="adam", max_iter=5, learning_rate=0.05)
+        mean, var = m.predict(xq)
+        assert np.all(np.isfinite(np.asarray(mean)))
+        assert np.all(np.asarray(var) > 0)
+        preds[engine] = np.asarray(mean)
+    for engine in ("lean", "hutchinson", "cg"):
+        np.testing.assert_allclose(preds[engine], preds["dense"],
+                                   rtol=0.05, atol=0.05, err_msg=engine)
+
+
+def test_exact_engine_rejects_unknown():
+    import pytest
+    from gpras_tpu.gp.model import GPRAS
+
+    with pytest.raises(ValueError):
+        GPRAS("RBF", model_type="exact", exact_engine="nope")
