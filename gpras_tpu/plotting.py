@@ -202,7 +202,92 @@ def map_mesh_errors(cell_table: pd.DataFrame, metrics_db: str | Path,
         _save(fig, out / f"{event}_{suffix}.png")
 
 
-map_errors = map_mesh_errors  # alias kept for the reference's second entry point
+def map_errors(cell_table: pd.DataFrame, values: np.ndarray, error_metric: str,
+               event: str, out_path: str | Path,
+               colormap_limits: tuple[float, float] | None = None) -> None:
+    """Single-event choropleth of one error array over the mesh centroids
+    (reference gpras/utils/plotting.py:410-443; the low-level sibling of
+    :func:`map_mesh_errors`)."""
+    fig, ax = plt.subplots(figsize=(7, 5))
+    vmin, vmax = (colormap_limits if colormap_limits is not None
+                  else (float(np.nanmin(values)), float(np.nanmax(values))))
+    sc = ax.scatter(cell_table["x"], cell_table["y"], c=values, s=18,
+                    marker="s", vmin=vmin, vmax=vmax)
+    ax.set_aspect("equal")
+    fig.colorbar(sc, ax=ax, label=error_metric)
+    apply_formatting(ax, f"{error_metric} Map - {event}", "x", "y")
+    _save(fig, out_path)
+
+
+def ec_timeseries_alt(x: np.ndarray, y: np.ndarray, index: Any,
+                      out_dir: str | Path) -> None:
+    """Per-event EOF timeseries, alt layout: every LF mode overlaid on every
+    HF-mode panel (reference gpras/utils/plotting.py:258-276)."""
+    out = Path(out_dir)
+    out.mkdir(parents=True, exist_ok=True)
+    idx = pd.MultiIndex.from_tuples(index) if not isinstance(index, pd.MultiIndex) else index
+    for event in idx.get_level_values(0).unique():
+        sel = idx.get_level_values(0) == event
+        n = y.shape[1]
+        fig, axes = plt.subplots(n, 1, figsize=(6.5, 2.2 * n), sharex=True)
+        axes = np.atleast_1d(axes)
+        t = np.arange(int(sel.sum()))
+        for m in range(n):
+            ax = axes[m]
+            ax.plot(t, y[sel, m], c="k", lw=2, label="HF model")
+            for j in range(x.shape[1]):
+                ax.plot(t, x[sel, j], alpha=0.6, lw=1, label=f"LF mode {j}")
+            apply_formatting(ax, ylabel=f"HF mode {m}")
+            ax.set_yticks([])
+        axes[0].legend(fontsize=6, ncol=2)
+        axes[-1].set_xlabel("Timestep")
+        fig.suptitle(f"Plan {event}")
+        _save(fig, out / f"Plan_{event}.png")
+
+
+def appr_3_pairplot(x: np.ndarray, y: np.ndarray, index: Any,
+                    out_dir: str | Path) -> None:
+    """Per-event lower-triangle scatter grid of HF modes vs LF modes
+    (reference gpras/utils/plotting.py:279-299)."""
+    out = Path(out_dir)
+    out.mkdir(parents=True, exist_ok=True)
+    idx = pd.MultiIndex.from_tuples(index) if not isinstance(index, pd.MultiIndex) else index
+    rows, cols = y.shape[1], x.shape[1]
+    for event in idx.get_level_values(0).unique():
+        sel = idx.get_level_values(0) == event
+        fig, axes = plt.subplots(rows, cols, figsize=(2.5 * cols, 2.5 * rows),
+                                 squeeze=False)
+        for ix in range(cols):
+            for iy in range(rows):
+                if iy > ix:
+                    axes[iy, ix].set_axis_off()
+                    continue
+                axes[iy, ix].scatter(x[sel, ix], y[sel, iy], c="k", alpha=0.5, s=4)
+        for iy in range(rows):
+            axes[iy, 0].set_ylabel(f"HF mode {iy}", fontsize=8)
+        for ix in range(cols):
+            axes[-1, ix].set_xlabel(f"LF mode {ix}", fontsize=8)
+        fig.suptitle(f"Plan {event}")
+        _save(fig, out / f"Plan_{event}.png")
+
+
+def plot_spatial_eof(plot_dir: str | Path, eof_vector: np.ndarray, mode: int,
+                     wet_cell_ids: Any, cell_table: pd.DataFrame,
+                     cell_id_field: str = "cell_id",
+                     title: str = "Spatial EOF Pattern", cmap: str = "seismic",
+                     shared_vmax: float | None = None) -> None:
+    """One EOF mode mapped over the mesh with a symmetric color scale
+    (reference gpras/utils/plotting.py:637-681; single-mode sibling of
+    :func:`plot_eof_maps`)."""
+    sub = cell_table.set_index(cell_id_field).loc[np.asarray(wet_cell_ids)]
+    vmax = shared_vmax if shared_vmax is not None else float(np.max(np.abs(eof_vector))) or 1.0
+    fig, ax = plt.subplots(figsize=(7, 5.5))
+    sc = ax.scatter(sub["x"], sub["y"], c=np.asarray(eof_vector), s=18,
+                    marker="s", cmap=cmap, vmin=-vmax, vmax=vmax)
+    ax.set_aspect("equal")
+    fig.colorbar(sc, ax=ax, label="EOF Amplitude")
+    apply_formatting(ax, title, "X coordinate", "Y coordinate")
+    _save(fig, Path(plot_dir) / f"eof_{mode}.png")
 
 
 def plot_eof_maps(eofs: np.ndarray, wet_cell_ids: list, cell_table: pd.DataFrame,

@@ -218,3 +218,31 @@ def test_cv_config_splits_within_training_set(tmp_path):
         lf_model_type="ras_upskill")
     assert cfg.train_plans == ["a"]
     assert cfg.test_plans == ["b"]
+
+
+def test_new_plot_variants_smoke(tmp_path):
+    """ec_timeseries_alt / appr_3_pairplot / map_errors / plot_spatial_eof
+    render files (reference plotting.py:258-299, 410-443, 637-681 parity)."""
+    import numpy as np
+    import pandas as pd
+
+    from gpras_tpu import plotting as P
+
+    rng = np.random.default_rng(0)
+    idx = pd.MultiIndex.from_tuples(
+        [(e, t) for e in ("p01", "p02") for t in range(12)])
+    x = rng.normal(size=(24, 3))
+    y = rng.normal(size=(24, 2))
+    P.ec_timeseries_alt(x, y, idx, tmp_path / "alt")
+    P.appr_3_pairplot(x, y, idx, tmp_path / "a3")
+    assert (tmp_path / "alt" / "Plan_p01.png").exists()
+    assert (tmp_path / "a3" / "Plan_p02.png").exists()
+
+    cells = pd.DataFrame({"cell_id": np.arange(16),
+                          "x": rng.normal(size=16), "y": rng.normal(size=16)})
+    P.map_errors(cells, rng.normal(size=16), "RMSE", "p01",
+                 tmp_path / "err.png", colormap_limits=(-1.0, 1.0))
+    assert (tmp_path / "err.png").exists()
+    P.plot_spatial_eof(tmp_path, rng.normal(size=8), 0,
+                       np.arange(8), cells)
+    assert (tmp_path / "eof_0.png").exists()
