@@ -182,15 +182,19 @@ def bench_predict_throughput(n: int = 4096, m: int = 128, p_modes: int = 16,
 
     out = predict(batched, cache, xq)
     float(out[0].ravel()[0])  # axon: scalar fetch = the only real barrier
-    t0 = time.perf_counter()
+    # Steady-state pipelined throughput: dispatch `reps` DISTINCT query
+    # batches (distinct inputs defeat the relay's execution memoization),
+    # then fetch once — executions are in-order on the device stream, so the
+    # last result arriving means all completed. This overlaps dispatch with
+    # execution the way a serving loop does, instead of paying one host
+    # round-trip per batch.
     reps = 20
-    for _ in range(reps):
-        # Chain each rep's queries on the previous output so the relay
-        # cannot memoize identical executions (same executable + same
-        # buffers would otherwise dedupe to one run).
-        q = xq + out[0].ravel()[0] * jnp.float32(1e-30)
-        out = predict(batched, cache, q)
-    float(out[0].ravel()[0])
+    qs = [xq + jnp.float32(i + 1) * jnp.float32(1e-30) for i in range(reps)]
+    jax.block_until_ready(qs)
+    float(qs[-1].ravel()[0])
+    t0 = time.perf_counter()
+    outs = [predict(batched, cache, q) for q in qs]
+    float(outs[-1][0].ravel()[0])
     dt = (time.perf_counter() - t0) / reps
     return s_events / dt
 
