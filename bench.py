@@ -75,7 +75,10 @@ def bench_exact_fit(n: int, steps: int = 10, d: int = 8) -> float:
         from gpras_tpu.gp.exact_cg import make_cg_training_loss
 
         iters = int(os.environ.get("GPRAS_BENCH_CG_ITERS", "32"))
-        c_loss = make_cg_training_loss(kernel, probes=16, max_iters=iters,
+        # the fused Pallas matvec lane-pads RHS to 128 columns, so 127 probes
+        # (+1 for y) cost the same as 16 — free SLQ/trace accuracy
+        probes = int(os.environ.get("GPRAS_BENCH_CG_PROBES", "127"))
+        c_loss = make_cg_training_loss(kernel, probes=probes, max_iters=iters,
                                        row_panel=4096, col_panel=4096)
 
         @jax.jit

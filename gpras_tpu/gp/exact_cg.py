@@ -62,11 +62,18 @@ def kmv(kernel: str, params: dict[str, Array], x: Array, v: Array,
         precision: str = "high") -> Array:
     """(K(x,x) + noise I) @ v without materializing K.
 
-    v: (N, R). Returns (N, R). The Gram tile k(x_panel, x) is rebuilt per
-    fori_loop iteration; XLA fuses the elementwise kernel tail into the
-    distance matmul, so the tile never hits HBM twice.
+    v: (N, R). Returns (N, R). On TPU with a stationary kernel this is the
+    fused Pallas kernel (ops/pallas_gram.pallas_kmv): each covariance tile is
+    built and contracted in VMEM, so HBM traffic is O(N (D + R)) instead of
+    the XLA path's O(N^2) tile round-trip. Off-TPU / non-stationary falls
+    back to a fori_loop over (panel, N) Gram tiles.
     """
     n = x.shape[0]
+    if n >= 2048 and kernel in K.STATIONARY_KERNELS and \
+            jax.devices()[0].platform == "tpu":
+        from gpras_tpu.ops.pallas_gram import pallas_kmv
+
+        return pallas_kmv(kernel, params, x, v, noise=noise)
     p = _fit_panel(n, row_panel)
     n_panels = n // p
 
@@ -247,6 +254,11 @@ def kmv_cross(kernel: str, params: dict[str, Array], x1: Array, x2: Array,
     """k(x1, x2) @ v streamed over row panels of x1 (never stores the cross
     Gram). v: (N2, R) -> (N1, R)."""
     n1 = x1.shape[0]
+    if n1 >= 2048 and kernel in K.STATIONARY_KERNELS and \
+            jax.devices()[0].platform == "tpu":
+        from gpras_tpu.ops.pallas_gram import pallas_kmv
+
+        return pallas_kmv(kernel, params, x1, v, x2=x2)
     p = _fit_panel(n1, row_panel)
 
     def body(j, out):

@@ -32,18 +32,16 @@ TILE_M = 256
 TILE_N = 256
 
 
-def _tile_body(kernel: str, a_ref, b_ref, var_ref, noise_ref, out_ref,
-               tile_m: int, tile_n: int, square: bool):
+def _tile_value(kernel: str, a, b, variance, noise,
+                tile_m: int, tile_n: int, square: bool):
+    """Covariance tile k(a, b) from pre-scaled coordinate blocks (in VMEM)."""
     from jax.experimental import pallas as pl
 
-    a = a_ref[:]  # (TM, D) pre-scaled rows
-    b = b_ref[:]  # (TN, D) pre-scaled cols
     ab = jax.lax.dot_general(a, b, dimension_numbers=(((1,), (1,)), ((), ())),
                              preferred_element_type=jnp.float32)
     a2 = jnp.sum(a * a, axis=1, keepdims=True)       # (TM, 1)
     b2 = jnp.sum(b * b, axis=1, keepdims=True).T     # (1, TN)
     r2 = jnp.maximum(a2 + b2 - 2.0 * ab, 0.0)
-    variance = var_ref[0, 0]
     if kernel == "RBF":
         k = variance * jnp.exp(-0.5 * r2)
     else:
@@ -66,8 +64,35 @@ def _tile_body(kernel: str, a_ref, b_ref, var_ref, noise_ref, out_ref,
         j = pl.program_id(1)
         rows = i * tile_m + jax.lax.broadcasted_iota(jnp.int32, (tile_m, tile_n), 0)
         cols = j * tile_n + jax.lax.broadcasted_iota(jnp.int32, (tile_m, tile_n), 1)
-        k = jnp.where(rows == cols, k + noise_ref[0, 0], k)
+        k = jnp.where(rows == cols, k + noise, k)
+    return k
+
+
+def _tile_body(kernel: str, a_ref, b_ref, var_ref, noise_ref, out_ref,
+               tile_m: int, tile_n: int, square: bool):
+    k = _tile_value(kernel, a_ref[:], b_ref[:], var_ref[0, 0], noise_ref[0, 0],
+                    tile_m, tile_n, square)
     out_ref[:] = k.astype(out_ref.dtype)
+
+
+def _kmv_body(kernel: str, a_ref, b_ref, v_ref, var_ref, noise_ref, out_ref,
+              tile_m: int, tile_n: int, square: bool):
+    """One (TM, TN) covariance tile contracted with its V block, accumulated
+    into the row-tile output — the tile lives only in VMEM."""
+    from jax.experimental import pallas as pl
+
+    k = _tile_value(kernel, a_ref[:], b_ref[:], var_ref[0, 0], noise_ref[0, 0],
+                    tile_m, tile_n, square)
+    contrib = jnp.dot(k, v_ref[:], preferred_element_type=jnp.float32)
+    j = pl.program_id(1)
+
+    @pl.when(j == 0)
+    def _init():
+        out_ref[:] = contrib.astype(out_ref.dtype)
+
+    @pl.when(j > 0)
+    def _acc():
+        out_ref[:] = (out_ref[:] + contrib).astype(out_ref.dtype)
 
 
 def _pad_rows(x: Array, mult: int) -> Array:
@@ -80,7 +105,8 @@ def _pad_rows(x: Array, mult: int) -> Array:
 
 @partial(jax.jit, static_argnums=(0,))
 def pallas_gram(kernel: str, params: dict[str, Array], x1: Array,
-                x2: Array | None = None, noise: Array | None = None) -> Array:
+                x2: Array | None = None, noise: Array | None = None,
+                interpret: bool = False) -> Array:
     """Fused stationary Gram on TPU; adds ``noise`` on the diagonal when square.
 
     Shapes are padded up to the tile size and cropped after — padded rows
@@ -118,6 +144,7 @@ def pallas_gram(kernel: str, params: dict[str, Array], x1: Array,
         ],
         out_specs=pl.BlockSpec((TILE_M, TILE_N), lambda i, j: (i, j)),
         out_shape=jax.ShapeDtypeStruct((m_p, n_p), jnp.float32),
+        interpret=interpret,
     )(a, b, var, nz)
     return out[:n1, :n2]
 
@@ -133,3 +160,58 @@ def gram(kernel: str, params: dict[str, Array], x1: Array,
     if noise is not None and x2 is None:
         k = k + jnp.asarray(noise, k.dtype) * jnp.eye(x1.shape[0], dtype=k.dtype)
     return k
+
+
+def pallas_kmv(kernel: str, params: dict[str, Array], x1: Array,
+               v: Array, x2: Array | None = None,
+               noise: Array | None = None, interpret: bool = False) -> Array:
+    """Fused (K(x1, x2) + noise I) @ v — the covariance tile never leaves VMEM.
+
+    The matrix-free CG engine's matvec (gp/exact_cg.py) is bandwidth-bound
+    when the (panel, N) Gram tile round-trips HBM (XLA cannot fuse a producer
+    into a dot operand). Here each (TM, TN) tile is built and contracted with
+    its (TN, R) V-block in registers/VMEM, so HBM traffic per matvec drops
+    from O(N^2) to O(N * (D + R)) — pure compute.
+
+    v: (N2, R). Returns (N1, R) f32. ``noise`` is added on the diagonal only
+    when x2 is None (square). R is padded to the lane width internally.
+    """
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    if kernel not in KK.STATIONARY_KERNELS:
+        raise ValueError(f"pallas_kmv supports stationary kernels, got {kernel}")
+    square = x2 is None
+    if x2 is None:
+        x2 = x1
+    n1 = x1.shape[0]
+    n2, r = x2.shape[0], v.shape[1]
+    ls = jnp.exp(params["log_lengthscales"]).astype(jnp.float32)
+    a = _pad_rows(x1.astype(jnp.float32) / ls, TILE_M)
+    b = _pad_rows(x2.astype(jnp.float32) / ls, TILE_N)
+    # padded V rows are zero => padded Gram columns contribute nothing
+    v_p = _pad_rows(v.astype(jnp.float32), TILE_N)
+    r_pad = (-r) % 128
+    if r_pad:
+        v_p = jnp.concatenate(
+            [v_p, jnp.zeros((v_p.shape[0], r_pad), jnp.float32)], axis=1)
+    m_p, n_p = a.shape[0], b.shape[0]
+    var = jnp.exp(params["log_variance"]).astype(jnp.float32).reshape(1, 1)
+    nz = (jnp.zeros((), jnp.float32) if noise is None
+          else jnp.asarray(noise, jnp.float32)).reshape(1, 1)
+
+    out = pl.pallas_call(
+        partial(_kmv_body, kernel, tile_m=TILE_M, tile_n=TILE_N, square=square),
+        grid=(m_p // TILE_M, n_p // TILE_N),
+        in_specs=[
+            pl.BlockSpec((TILE_M, a.shape[1]), lambda i, j: (i, 0)),
+            pl.BlockSpec((TILE_N, b.shape[1]), lambda i, j: (j, 0)),
+            pl.BlockSpec((TILE_N, v_p.shape[1]), lambda i, j: (j, 0)),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+        ],
+        out_specs=pl.BlockSpec((TILE_M, v_p.shape[1]), lambda i, j: (i, 0)),
+        out_shape=jax.ShapeDtypeStruct((m_p, v_p.shape[1]), jnp.float32),
+        interpret=interpret,
+    )(a, b, v_p, var, nz)
+    return out[:n1, :r]

@@ -1,0 +1,212 @@
+"""Distributed matrix-free exact-GP: row-sharded CG + SLQ over an ICI mesh.
+
+The single-chip matrix-free engine (gp/exact_cg.py) caps out at whatever one
+chip can stream; this module shards the MATVEC — the only O(N^2) work in the
+whole algorithm — across the mesh:
+
+    (K @ V)[rows_d] = k(x[rows_d], x) @ V        per device d
+
+Each device holds its row shard of x and rebuilds its (N/d, N) Gram strip
+tile-by-tile against the (replicated) full x; no element of K is ever stored
+and the ONLY collective in the CG iteration is the psum of the dot products
+(alpha/beta scalars) — V itself stays fully replicated (N x R is tiny).
+Communication per iteration: 2 scalar-psums. This is the TPU-native analog of
+distributed BBMM, and scales N linearly with the mesh (the 16 GB/chip limit
+applies only to O(N * panel) streaming buffers).
+
+Gradients use the same rank-(m+1) cotangent as the single-chip engine,
+contracted against each device's own Gram strip via a local vjp and one psum.
+Reference capability anchor: the reference has no exact GP and no distribution
+at all (SURVEY.md section 2.2); this is the BASELINE.json configs[4]
+"N >= 100k" axis taken past single-chip HBM.
+"""
+
+from __future__ import annotations
+
+import math
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax import shard_map
+
+from gpras_tpu.gp.priors import log_prior
+from gpras_tpu.gp.exact_cg import _slq_logdet_from_coeffs
+from gpras_tpu.ops import kernels as K
+from gpras_tpu.ops import linalg
+
+Array = jax.Array
+
+
+def _local_kmv(kernel, params, x_local, x_full, v, noise, row_panel, axis):
+    """One device's rows of (K + noise I) @ v: stream (panel, N) tiles of the
+    local Gram strip. x_local: (N/d, D), v: (N, R) replicated."""
+    nl = x_local.shape[0]
+    p = min(row_panel, nl)
+    while nl % p != 0:
+        p -= 1
+
+    def body(j, out):
+        r0 = j * p
+        rows = jax.lax.dynamic_slice_in_dim(x_local, r0, p, axis=0)
+        tile = K.gram(kernel, params, rows, x_full)  # (p, N)
+        return jax.lax.dynamic_update_slice_in_dim(
+            out, jnp.matmul(tile, v, preferred_element_type=v.dtype), r0, 0)
+
+    # the carry must carry the 'varying over axis' type of the body output
+    # (shard_map VMA typing): seed it with a varying zero from x_local
+    out0 = jnp.zeros((nl,) + v.shape[1:], v.dtype) + \
+        jnp.zeros((), v.dtype) * x_local[0, 0]
+    out = jax.lax.fori_loop(0, nl // p, body, out0)
+    # noise * v restricted to this device's rows
+    axis_idx = jax.lax.axis_index(axis)
+    row0 = axis_idx * nl
+    v_rows = jax.lax.dynamic_slice_in_dim(v, row0, nl, axis=0)
+    return out + noise * v_rows
+
+
+def dist_mbcg(mesh: Mesh, kernel: str, params, x: Array, b: Array,
+              noise, max_iters: int = 32, tol: float = 1e-6,
+              row_panel: int = 1024, axis: str = "i"):
+    """Batched CG with the matvec row-sharded over the mesh.
+
+    x: (N, D) row-sharded; b: (N, R) replicated. Returns (solution (N, R),
+    alphas (k, R), betas (k, R)) replicated. The iteration state (p, res) is
+    kept replicated; each device computes its row block of A@p and the blocks
+    are all-gathered (the only O(N R) collective), while the reduction scalars
+    psum.
+    """
+    n, r = b.shape
+    d = mesh.shape[axis]
+
+    def body_fn(x_local, b_rep):
+        b2 = jnp.sum(b_rep * b_rep, axis=0)
+        stop2 = (tol * tol) * b2
+        # gather the full coordinates once (N x D is tiny); every matvec then
+        # costs one all_gather of the (N, R) product blocks
+        x_full = jax.lax.all_gather(x_local, axis, axis=0, tiled=True)
+
+        def mv(v):
+            local = _local_kmv(kernel, params, x_local, x_full,
+                               v, noise, row_panel, axis)
+            return jax.lax.all_gather(local, axis, axis=0, tiled=True)
+
+        def step(i, carry):
+            sol, p, res, rz, alphas, betas, done = carry
+            ap = mv(p)
+            pap = jnp.sum(p * ap, axis=0)
+            alpha = jnp.where(pap > 0, rz / jnp.maximum(pap, 1e-30), 0.0)
+            alpha = jnp.where(done, 0.0, alpha)
+            sol = sol + alpha[None, :] * p
+            res = res - alpha[None, :] * ap
+            rz_new = jnp.sum(res * res, axis=0)
+            beta = jnp.where(rz > 0, rz_new / jnp.maximum(rz, 1e-30), 0.0)
+            beta = jnp.where(done, 0.0, beta)
+            p = res + beta[None, :] * p
+            alphas = alphas.at[i].set(alpha)
+            betas = betas.at[i].set(beta)
+            done = done | (rz_new <= stop2)
+            return sol, p, res, rz_new, alphas, betas, done
+
+        # all_gather'ed matvec outputs are typed 'varying over axis' under
+        # shard_map; the carry must match from iteration 0
+        init = jax.tree.map(
+            lambda a: jax.lax.pcast(a, (axis,), to="varying"),
+            (jnp.zeros_like(b_rep), b_rep, b_rep, b2,
+             jnp.zeros((max_iters, r), b_rep.dtype),
+             jnp.zeros((max_iters, r), b_rep.dtype),
+             jnp.zeros((r,), bool)))
+        sol, _, _, _, alphas, betas, _ = jax.lax.fori_loop(
+            0, max_iters, step, init)
+        return sol, alphas, betas
+
+    # outputs are numerically replicated (every device all_gathers the same
+    # blocks) but the VMA type system cannot prove it -> check_vma=False
+    fn = shard_map(body_fn, mesh=mesh,
+                   in_specs=(P(axis), P()),
+                   out_specs=(P(), P(), P()), check_vma=False)
+    return fn(x, b)
+
+
+def make_dist_cg_nlml(mesh: Mesh, kernel: str, probes: int = 8,
+                      max_iters: int = 32, row_panel: int = 1024,
+                      col_panel: int = 1024, axis: str = "i"):
+    """Distributed matrix-free NLML with the BBMM stochastic gradient.
+
+    Returns ``nlml(params, x_sharded, y, key)``; x must be placed with
+    PartitionSpec((axis,)) rows, y/key replicated. Value = exact quad +
+    SLQ logdet; gradient = rank-(m+1) cotangent contracted against each
+    device's Gram strip (one psum).
+    """
+
+    def solves(params, x, y, key):
+        n = x.shape[0]
+        noise = jnp.exp(params["log_noise_variance"]) + \
+            linalg.default_jitter(x.dtype) * jnp.exp(params["log_variance"])
+        z = jax.random.rademacher(key, (n, probes), dtype=x.dtype)
+        b = jnp.concatenate([y[:, None], z], axis=1)
+        sol, alphas, betas = dist_mbcg(mesh, kernel, params, x, b, noise,
+                                       max_iters, row_panel=row_panel,
+                                       axis=axis)
+        b2 = jnp.sum(z * z, axis=0)
+        logdet = _slq_logdet_from_coeffs(alphas[:, 1:], betas[:, 1:], b2, n)
+        return sol[:, 0], sol[:, 1:], z, logdet
+
+    def value(params, x, y, key):
+        n = x.shape[0]
+        alpha_y, _, _, logdet = solves(params, x, y, key)
+        return (0.5 * jnp.vdot(y, alpha_y) + 0.5 * logdet
+                + 0.5 * n * math.log(2.0 * math.pi))
+
+    @jax.custom_vjp
+    def nlml(params, x, y, key):
+        return value(params, x, y, key)
+
+    def fwd(params, x, y, key):
+        out = value(params, x, y, key)
+        alpha_y, w, z, _ = solves(params, x, y, key)
+        return out, (params, x, alpha_y, w, z)
+
+    def bwd(res, g):
+        params, x, alpha, w, z = res
+        n = x.shape[0]
+        inv_m = 1.0 / probes
+
+        def local_grads(x_local, alpha_rep, w_rep, z_rep):
+            x_full = jax.lax.all_gather(x_local, axis, axis=0, tiled=True)
+            nl = x_local.shape[0]
+            axis_idx = jax.lax.axis_index(axis)
+            row0 = axis_idx * nl
+            # this device's rows of the cotangent:
+            # Kbar[rows] = 0.5 g [(1/m) W_rows Z^T - alpha_rows alpha^T]
+            w_rows = jax.lax.dynamic_slice_in_dim(w_rep, row0, nl, axis=0)
+            a_rows = jax.lax.dynamic_slice_in_dim(alpha_rep, row0, nl, axis=0)
+            kbar_rows = 0.5 * g * (inv_m * (w_rows @ z_rep.T)
+                                   - a_rows[:, None] * alpha_rep[None, :])
+            _, pullback = jax.vjp(
+                lambda pp: K.gram(kernel, pp, x_local, x_full), params)
+            (grads_t,) = pullback(kbar_rows)
+            grads_t = jax.tree.map(lambda a: jax.lax.psum(a, axis), grads_t)
+            # diagonal term (noise/jitter path): local diag entries
+            idx = jnp.arange(nl)
+            diag_local = jnp.sum(kbar_rows[idx, row0 + idx])
+            diag_sum = jax.lax.psum(diag_local, axis)
+            return grads_t, diag_sum
+
+        fn = shard_map(local_grads, mesh=mesh,
+                       in_specs=(P(axis), P(), P(), P()),
+                       out_specs=(P(), P()), check_vma=False)
+        grads, diag_sum = fn(x, alpha, w, z)
+        grads["log_noise_variance"] = grads["log_noise_variance"] + \
+            diag_sum * jnp.exp(params["log_noise_variance"])
+        grads["log_variance"] = grads["log_variance"] + \
+            diag_sum * linalg.default_jitter(x.dtype) * jnp.exp(params["log_variance"])
+        return grads, jnp.zeros_like(x), g * alpha, None
+
+    nlml.defvjp(fwd, bwd)
+
+    def loss(params, x, y, key):
+        return nlml(params, x, y, key) - log_prior(params)
+
+    return nlml, loss

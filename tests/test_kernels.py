@@ -96,3 +96,30 @@ def test_gram_gradients_finite_at_coincident_points():
         grads = jax.grad(f)(params)
         for leaf in jax.tree.leaves(grads):
             assert np.all(np.isfinite(np.asarray(leaf))), kernel
+
+
+def test_pallas_kmv_interpret_matches_dense():
+    """Fused Gram@V pallas kernel (interpret mode on CPU): square with fused
+    noise diagonal, rectangular cross, and ragged shapes incl. R padding."""
+    import numpy as np
+    import jax.numpy as jnp
+
+    from gpras_tpu.ops import kernels as K
+    from gpras_tpu.ops.pallas_gram import pallas_kmv
+
+    rng = np.random.default_rng(7)
+    params = {"log_variance": jnp.asarray(0.3, jnp.float32),
+              "log_lengthscales": jnp.asarray(np.log(rng.uniform(0.5, 2.0, 3)),
+                                              jnp.float32)}
+    x1 = jnp.asarray(rng.normal(size=(300, 3)), jnp.float32)
+    v1 = jnp.asarray(rng.normal(size=(300, 5)), jnp.float32)
+    kd = np.asarray(K.gram("Matern52", params, x1)) + 0.25 * np.eye(300)
+    got = np.asarray(pallas_kmv("Matern52", params, x1, v1,
+                                noise=jnp.float32(0.25), interpret=True))
+    np.testing.assert_allclose(got, kd @ np.asarray(v1), rtol=2e-4, atol=2e-4)
+
+    x2 = jnp.asarray(rng.normal(size=(140, 3)), jnp.float32)
+    v2 = jnp.asarray(rng.normal(size=(140, 2)), jnp.float32)
+    kx = np.asarray(K.gram("RBF", params, x1, x2))
+    got2 = np.asarray(pallas_kmv("RBF", params, x1, v2, x2=x2, interpret=True))
+    np.testing.assert_allclose(got2, kx @ np.asarray(v2), rtol=2e-4, atol=2e-4)

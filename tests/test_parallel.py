@@ -179,3 +179,41 @@ def test_sharded_multi_start_improves_loss():
                                        n_starts=8, iter_initial=5, iter_final=20)
     assert float(info["loss"]) < before
     assert info["restart_losses"].shape == (8,)
+
+
+def test_dist_cg_nlml_matches_single_chip():
+    """Row-sharded matrix-free CG NLML == the single-chip CG engine (same key),
+    and its gradient matches the exact dense gradient to MC tolerance."""
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from gpras_tpu.gp import exact
+    from gpras_tpu.gp.exact_cg import make_cg_nlml
+    from gpras_tpu.parallel import make_mesh
+    from gpras_tpu.parallel.pcg import make_dist_cg_nlml
+
+    mesh = make_mesh((8,), ("i",))
+    n, d = 128, 3
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.normal(size=(n, d)))
+    y = jnp.asarray(np.sin(np.asarray(x)[:, 0]) + 0.1 * rng.normal(size=n))
+    params = exact.init_params("Matern52", x, noise_variance=0.3)
+    key = jax.random.PRNGKey(3)
+
+    nlml_d, loss_d = make_dist_cg_nlml(mesh, "Matern52", probes=8,
+                                       max_iters=96, row_panel=8)
+    x_sh = jax.device_put(x, NamedSharding(mesh, P("i")))
+    got = float(nlml_d(params, x_sh, y, key))
+    ref_nlml = make_cg_nlml("Matern52", probes=8, max_iters=96,
+                            row_panel=16, col_panel=16)
+    want = float(ref_nlml(params, x, y, key))
+    np.testing.assert_allclose(got, want, rtol=1e-4)
+
+    g_dist = jax.grad(lambda p: nlml_d(p, x_sh, y, key))(params)
+    g_exact = jax.grad(lambda p: exact.nlml("Matern52", p, x, y))(params)
+    for name in g_exact:
+        ge, gd = np.asarray(g_exact[name]), np.asarray(g_dist[name])
+        scale = max(np.max(np.abs(ge)), 1.0)
+        np.testing.assert_allclose(gd, ge, atol=0.35 * scale, err_msg=name)
