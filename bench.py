@@ -78,8 +78,10 @@ def bench_exact_fit(n: int, steps: int = 10, d: int = 8) -> float:
         # the fused Pallas matvec lane-pads RHS to 128 columns, so 127 probes
         # (+1 for y) cost the same as 16 — free SLQ/trace accuracy
         probes = int(os.environ.get("GPRAS_BENCH_CG_PROBES", "127"))
+        pc_rank = int(os.environ.get("GPRAS_BENCH_CG_PRECOND", "0"))
         c_loss = make_cg_training_loss(kernel, probes=probes, max_iters=iters,
-                                       row_panel=4096, col_panel=4096)
+                                       row_panel=4096, col_panel=4096,
+                                       precond_rank=pc_rank)
 
         @jax.jit
         def step(p, opt_state, key):

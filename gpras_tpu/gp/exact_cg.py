@@ -31,8 +31,14 @@ fit a step in ~15 s where every factorization engine is out of memory by 64x.
 Numerics: CG on a f32 kernel matrix with the default relative jitter behaves
 like GPyTorch's f32 BBMM; convergence is governed by cond(K) ~ var/noise.
 A Jacobi preconditioner is pointless (the diagonal is constant for stationary
-kernels); ``max_iters`` is the accuracy dial, and all reductions accumulate
-in f32.
+kernels) — the real conditioning dial is ``precond_rank`` (matrix-free
+pivoted-Cholesky preconditioner, Gardner et al. sec. 4). Keep ``max_iters``
+at or below ~32-48 in f32: without reorthogonalization, long f32 Lanczos
+runs grow ghost Ritz values near lambda_min and the SLQ logdet diverges
+(measured on v5e at N=8192, noise 1e-2: rank=128/iters=32 lands within 4% of
+the f64 truth while the dense f32 Cholesky is NaN outright; iters=64+
+explodes regardless of rank). Raise the preconditioner rank, not the
+iteration count.
 """
 
 from __future__ import annotations
@@ -89,44 +95,121 @@ def kmv(kernel: str, params: dict[str, Array], x: Array, v: Array,
     return out + noise * v
 
 
-def mbcg(matvec, b: Array, max_iters: int = 32, tol: float = 1e-6):
+def pivoted_cholesky(kernel: str, params: dict[str, Array], x: Array,
+                     rank: int) -> Array:
+    """Rank-``rank`` pivoted (partial) Cholesky of K(x, x) — matrix-free.
+
+    Greedy: pick the largest residual-diagonal entry, evaluate that single
+    kernel column k(x, x[piv]) (one (N, 1) Gram build), orthogonalize against
+    the factors so far, update the residual diagonal. O(N * rank) memory,
+    O(N rank (rank + D)) compute — no (N, N) object anywhere. Returns
+    L (N, rank) with K ~= L L^T + residual. This is GPyTorch's BBMM
+    preconditioner construction (PAPERS.md, Gardner et al. 2018 sec. 4).
+    """
+    n = x.shape[0]
+    diag = K.kdiag(kernel, params, x)
+    l = jnp.zeros((n, rank), x.dtype)
+
+    def step(i, carry):
+        l, diag_r = carry
+        piv = jnp.argmax(diag_r)
+        x_piv = jax.lax.dynamic_slice_in_dim(x, piv, 1, axis=0)  # (1, D)
+        col = K.gram(kernel, params, x, x_piv)[:, 0]  # (N,)
+        l_piv = jax.lax.dynamic_slice_in_dim(l, piv, 1, axis=0)[0]  # (rank,)
+        # mask out factors not yet computed (j >= i)
+        mask = (jnp.arange(rank) < i).astype(x.dtype)
+        proj = l @ (l_piv * mask)
+        d_piv = jnp.maximum(diag_r[piv], 1e-30)
+        new_col = (col - proj) / jnp.sqrt(d_piv)
+        # zero the column if the residual diagonal is (numerically) exhausted
+        new_col = jnp.where(diag_r[piv] > 1e-12 * diag[piv], new_col, 0.0)
+        l = l.at[:, i].set(new_col)
+        diag_r = jnp.maximum(diag_r - new_col * new_col, 0.0)
+        return l, diag_r
+
+    l, _ = jax.lax.fori_loop(0, rank, step, (l, diag))
+    return l
+
+
+def make_woodbury_pinv(l: Array, noise: Array):
+    """Apply P^{-1} for P = L L^T + noise I via the Woodbury identity.
+
+    Returns (pinv(v), logdet_P): precomputes the (k, k) capacitance Cholesky.
+    det P = noise^(N-k) * det(noise I_k + L^T L).
+    """
+    n, k = l.shape
+    m = noise * jnp.eye(k, dtype=l.dtype) + l.T @ l
+    lm = jnp.linalg.cholesky(m)
+
+    def pinv(v):
+        t = l.T @ v                                     # (k, R)
+        t = jax.scipy.linalg.cho_solve((lm, True), t)   # M^{-1} L^T v
+        return (v - l @ t) / noise
+
+    logdet_p = (n - k) * jnp.log(noise) + 2.0 * jnp.sum(
+        jnp.log(jnp.maximum(jnp.diagonal(lm), 1e-30)))
+    return pinv, logdet_p
+
+
+def mbcg(matvec, b: Array, max_iters: int = 32, tol: float = 1e-6,
+         pinv=None):
     """Modified batched CG: solve A X = b per column, recording Lanczos
     tridiagonal coefficients.
 
-    b: (N, R). Returns (x, alphas, betas) where alphas/betas are
-    (max_iters, R) Lanczos recurrence coefficients (diag / off-diag of T are
-    derived from them the standard way). Always runs ``max_iters`` iterations
-    (static shapes; converged columns freeze via the tolerance mask), which
-    keeps the program one fori_loop regardless of conditioning.
+    b: (N, R). Returns (x, alphas, betas, rz0) where alphas/betas are
+    (max_iters, R) Lanczos recurrence coefficients (diag / off-diag of T
+    derive from them the standard way) and rz0 = b^T P^{-1} b — the SLQ probe
+    weights (== ||b||^2 when unpreconditioned). Always runs ``max_iters``
+    iterations (static shapes; converged columns freeze via the tolerance
+    mask), which keeps the program one fori_loop regardless of conditioning.
+
+    ``pinv`` applies a preconditioner P^{-1}: the iteration becomes standard
+    PCG, and the recorded coefficients are the Lanczos tridiagonal of the
+    preconditioned operator P^{-1/2} A P^{-1/2} (Saad ch. 9; what the
+    preconditioned SLQ quadrature needs).
     """
     n, r = b.shape
+    if pinv is None:
+        pinv = lambda v: v
     b2 = jnp.sum(b * b, axis=0)
     stop2 = (tol * tol) * b2
+    z0 = pinv(b)
+    rz0 = jnp.sum(b * z0, axis=0)
 
     def body(i, carry):
         x, p, res, rz, alphas, betas, done = carry
         ap = matvec(p)
         pap = jnp.sum(p * ap, axis=0)
-        alpha = jnp.where(pap > 0, rz / jnp.maximum(pap, 1e-30), 0.0)
-        alpha = jnp.where(done, 0.0, alpha)
+        # breakdown guard: in f32, once the residual stagnates near machine
+        # precision, curvature (p'Ap) or residual energy (r'P^{-1}r) can go
+        # non-positive/non-finite; recording those iterations would inject
+        # spurious Ritz values into the SLQ tridiagonal (log of a garbage
+        # eigenvalue). Freeze such columns permanently.
+        broken = (pap <= 0) | ~jnp.isfinite(pap)
+        done_now = done | broken
+        alpha = jnp.where(done_now, 0.0, rz / jnp.where(pap > 0, pap, 1.0))
         x = x + alpha[None, :] * p
         res = res - alpha[None, :] * ap
-        rz_new = jnp.sum(res * res, axis=0)
-        beta = jnp.where(rz > 0, rz_new / jnp.maximum(rz, 1e-30), 0.0)
-        beta = jnp.where(done, 0.0, beta)
-        p = res + beta[None, :] * p
+        z = pinv(res)
+        rz_new = jnp.sum(res * z, axis=0)
+        res2 = jnp.sum(res * res, axis=0)
+        broken2 = (rz_new <= 0) | ~jnp.isfinite(rz_new)
+        beta = jnp.where(done_now | broken2, 0.0,
+                         rz_new / jnp.where(rz > 0, rz, 1.0))
+        p = z + beta[None, :] * p
         alphas = alphas.at[i].set(alpha)
         betas = betas.at[i].set(beta)
-        done = done | (rz_new <= stop2)
-        return x, p, res, rz_new, alphas, betas, done
+        done = done_now | broken2 | (res2 <= stop2)
+        rz_next = jnp.where(done, rz, rz_new)
+        return x, p, res, rz_next, alphas, betas, done
 
     x0 = jnp.zeros_like(b)
     alphas = jnp.zeros((max_iters, r), b.dtype)
     betas = jnp.zeros((max_iters, r), b.dtype)
     done0 = jnp.zeros((r,), bool)
     x, _, res, _, alphas, betas, _ = jax.lax.fori_loop(
-        0, max_iters, body, (x0, b, b, b2, alphas, betas, done0))
-    return x, alphas, betas
+        0, max_iters, body, (x0, z0, b, rz0, alphas, betas, done0))
+    return x, alphas, betas, rz0
 
 
 def _slq_logdet_from_coeffs(alphas: Array, betas: Array, b2: Array,
@@ -162,12 +245,22 @@ def _slq_logdet_from_coeffs(alphas: Array, betas: Array, b2: Array,
 
 def make_cg_nlml(kernel: str, probes: int = 16, max_iters: int = 32,
                  row_panel: int = 4096, col_panel: int = 4096,
-                 precision: str = "high"):
+                 precision: str = "high", precond_rank: int = 0):
     """Returns ``nlml(params, x, y, key)``: matrix-free value + gradient.
 
     The value's logdet term and the gradient's trace term are stochastic
     (probes); the quad term is exact up to CG tolerance. Pass a fresh key per
     step. Differentiable w.r.t. params and y.
+
+    ``precond_rank`` > 0 enables the full BBMM preconditioned path
+    (Gardner et al. 2018 sec. 4): a rank-k matrix-free pivoted Cholesky
+    P = L_k L_k^T + noise I drives PCG (fewer iterations when the fitted
+    noise is small), probes are drawn from N(0, P) (z = L u1 + sqrt(noise)
+    u2) so that
+        logdet K = logdet P + E[(z^T P^{-1} z) e1' log(T_pcg) e1]
+    with logdet P analytic via the (k, k) Woodbury capacitance, and the
+    gradient trace uses E[z z^T] = P:
+        tr(K^{-1} dK) = E[(K^{-1} z)^T dK (P^{-1} z)].
     """
 
     def solves(params, x, y, key):
@@ -175,16 +268,26 @@ def make_cg_nlml(kernel: str, probes: int = 16, max_iters: int = 32,
         noise = jnp.exp(params["log_noise_variance"])
         jitter = linalg.default_jitter(x.dtype) * jnp.exp(params["log_variance"])
         total_noise = noise + jitter
-        z = jax.random.rademacher(key, (n, probes), dtype=x.dtype)
+        if precond_rank > 0:
+            l_pc = pivoted_cholesky(kernel, params, x, precond_rank)
+            pinv, logdet_p = make_woodbury_pinv(l_pc, total_noise)
+            k1, k2 = jax.random.split(key)
+            u1 = jax.random.normal(k1, (precond_rank, probes), x.dtype)
+            u2 = jax.random.normal(k2, (n, probes), x.dtype)
+            z = l_pc @ u1 + jnp.sqrt(total_noise) * u2  # z ~ N(0, P)
+        else:
+            pinv, logdet_p = None, 0.0
+            z = jax.random.rademacher(key, (n, probes), dtype=x.dtype)
         b = jnp.concatenate([y[:, None], z], axis=1)
         mv = lambda v: kmv(kernel, params, x, v, total_noise, row_panel,
                            precision)
-        sol, alphas, betas = mbcg(mv, b, max_iters=max_iters)
+        sol, alphas, betas, rz0 = mbcg(mv, b, max_iters=max_iters, pinv=pinv)
         alpha_y = sol[:, 0]
         w = sol[:, 1:]
-        b2 = jnp.sum(z * z, axis=0)
-        logdet = _slq_logdet_from_coeffs(alphas[:, 1:], betas[:, 1:], b2, n)
-        return alpha_y, w, z, logdet
+        logdet = logdet_p + _slq_logdet_from_coeffs(
+            alphas[:, 1:], betas[:, 1:], rz0[1:], n)
+        v = pinv(z) if precond_rank > 0 else z
+        return alpha_y, w, v, logdet
 
     def value(params, x, y, key):
         n = x.shape[0]
@@ -198,13 +301,15 @@ def make_cg_nlml(kernel: str, probes: int = 16, max_iters: int = 32,
 
     def fwd(params, x, y, key):
         n = x.shape[0]
-        alpha_y, w, z, logdet = solves(params, x, y, key)
+        alpha_y, w, v, logdet = solves(params, x, y, key)
         quad = 0.5 * jnp.vdot(y, alpha_y)
         out = quad + 0.5 * logdet + 0.5 * n * math.log(2.0 * math.pi)
-        return out, (params, x, alpha_y, w, z)
+        return out, (params, x, alpha_y, w, v)
 
     def bwd(res, g):
-        params, x, alpha, w, z = res
+        # v = P^{-1} z under preconditioning (z itself otherwise):
+        # tr(K^{-1} dK) = E_{z~N(0,P)}[(K^{-1}z)^T dK (P^{-1}z)]
+        params, x, alpha, w, v = res
         n = x.shape[0]
         r = _fit_panel(n, col_panel)
         n_panels = n // r
@@ -214,9 +319,9 @@ def make_cg_nlml(kernel: str, probes: int = 16, max_iters: int = 32,
             grads_acc, diag_acc = carry
             c0 = j * r
             x_cols = jax.lax.dynamic_slice_in_dim(x, c0, r, axis=0)
-            z_cols = jax.lax.dynamic_slice_in_dim(z, c0, r, axis=0)
+            v_cols = jax.lax.dynamic_slice_in_dim(v, c0, r, axis=0)
             a_cols = jax.lax.dynamic_slice_in_dim(alpha, c0, r, axis=0)
-            kbar = 0.5 * g * (inv_m * (w @ z_cols.T)
+            kbar = 0.5 * g * (inv_m * (w @ v_cols.T)
                               - alpha[:, None] * a_cols[None, :])
             idx = jnp.arange(r)
             diag_acc = diag_acc + jnp.sum(kbar[c0 + idx, idx])
@@ -281,7 +386,7 @@ def cg_posterior_alpha(kernel: str, params: dict[str, Array], x: Array,
         linalg.default_jitter(x.dtype) * jnp.exp(params["log_variance"])
     mv = lambda v: kmv(kernel, params, x, v, noise, row_panel)
     y2 = y[:, None] if y.ndim == 1 else y
-    sol, _, _ = mbcg(mv, y2, max_iters=max_iters)
+    sol, _, _, _ = mbcg(mv, y2, max_iters=max_iters)
     return sol[:, 0] if y.ndim == 1 else sol
 
 
@@ -310,7 +415,7 @@ def cg_predict(kernel: str, params: dict[str, Array], x: Array, y: Array,
         c0 = j * c
         xq = jax.lax.dynamic_slice_in_dim(x_test, c0, c, axis=0)
         ks = K.gram(kernel, params, x, xq)  # (N, c) tile
-        sol, _, _ = mbcg(mv, ks, max_iters=max_iters)
+        sol, _, _, _ = mbcg(mv, ks, max_iters=max_iters)
         quad = jnp.sum(ks * sol, axis=0)
         return jax.lax.dynamic_update_slice_in_dim(var_out, quad, c0, axis=0)
 

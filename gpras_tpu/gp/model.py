@@ -196,7 +196,12 @@ class GPRAS:
             from gpras_tpu.gp.exact_cg import make_cg_training_loss
 
             if getattr(self, "_cg_loss", None) is None:
-                self._cg_loss = make_cg_training_loss(self.kernel_str)
+                # rank-64 pivoted-Cholesky preconditioner: in f32 the rank is
+                # the conditioning dial (NOT max_iters — see exact_cg
+                # docstring); rank 64 keeps the SLQ logdet within a few
+                # percent down to noise ~1e-2 where dense f32 chol NaNs
+                self._cg_loss = make_cg_training_loss(self.kernel_str,
+                                                      precond_rank=64)
             # SAA: a fixed probe set makes the objective deterministic, so
             # every optimizer in the zoo (incl. L-BFGS line searches) works.
             return self._cg_loss(params, self.x, y_i, jax.random.PRNGKey(0))

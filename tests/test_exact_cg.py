@@ -34,7 +34,7 @@ def test_mbcg_solves():
     kd = np.asarray(K.gram("RBF", params, x)) + float(noise) * np.eye(96)
     b = jnp.asarray(np.random.default_rng(3).normal(size=(96, 4)))
     mv = lambda v: kmv("RBF", params, x, v, noise, row_panel=32)
-    sol, alphas, betas = mbcg(mv, b, max_iters=96)
+    sol, alphas, betas, rz0 = mbcg(mv, b, max_iters=96)
     # CG stops at relative residual 1e-6 -> ~1e-5..1e-4 solution error
     np.testing.assert_allclose(np.asarray(sol), np.linalg.solve(kd, np.asarray(b)),
                                rtol=2e-4, atol=1e-6)
@@ -79,3 +79,70 @@ def test_cg_y_gradient_is_exact():
     gy_exact = jax.grad(lambda yy: exact.nlml("RBF", params, x, yy))(y)
     np.testing.assert_allclose(np.asarray(gy), np.asarray(gy_exact),
                                rtol=1e-4, atol=1e-7)
+
+
+def test_pivoted_cholesky_low_rank_recovery():
+    """On an (almost) rank-k kernel matrix, the rank-k pivoted Cholesky
+    reconstructs K to high accuracy."""
+    from gpras_tpu.gp.exact_cg import pivoted_cholesky
+
+    rng = np.random.default_rng(8)
+    # long lengthscale -> fast spectral decay -> low numerical rank
+    x = jnp.asarray(rng.normal(size=(80, 2)))
+    params = {"log_variance": jnp.asarray(0.0),
+              "log_lengthscales": jnp.asarray([1.5, 1.5])}
+    kd = np.asarray(K.gram("RBF", params, x))
+    l = np.asarray(pivoted_cholesky("RBF", params, x, 30))
+    err = np.max(np.abs(kd - l @ l.T)) / np.max(np.abs(kd))
+    assert err < 1e-4, err
+
+
+def test_preconditioned_cg_nlml_matches_exact():
+    """precond_rank > 0: value still matches the Cholesky NLML and the
+    stochastic gradient still averages to the exact gradient."""
+    x, y = make_data(n=64, seed=11)
+    params = exact.init_params("RBF", x, noise_variance=0.05)
+    nlml = make_cg_nlml("RBF", probes=32, max_iters=48, row_panel=32,
+                        col_panel=32, precond_rank=12)
+    keys = jax.random.split(jax.random.PRNGKey(2), 16)
+    vals = [float(nlml(params, x, y, k)) for k in keys[:8]]
+    want = float(exact.nlml("RBF", params, x, y))
+    # logdet is SLQ-stochastic: 8 keys x 32 probes -> ~5% MC tolerance
+    assert abs(np.mean(vals) - want) / abs(want) < 0.05, (np.mean(vals), want)
+
+    g_exact = jax.grad(lambda p: exact.nlml("RBF", p, x, y))(params)
+    grad_fn = jax.jit(jax.grad(lambda p, k: nlml(p, x, y, k)))
+    acc = jax.tree.map(jnp.zeros_like, params)
+    for k in keys:
+        acc = jax.tree.map(jnp.add, acc, grad_fn(params, k))
+    mean_g = jax.tree.map(lambda a: a / len(keys), acc)
+    for name in g_exact:
+        ge, gm = np.asarray(g_exact[name]), np.asarray(mean_g[name])
+        scale = max(np.max(np.abs(ge)), 1.0)
+        np.testing.assert_allclose(gm, ge, atol=0.15 * scale, err_msg=name)
+
+
+def test_preconditioning_accelerates_convergence():
+    """With small noise (ill-conditioned K), PCG reaches a given solve
+    accuracy in far fewer iterations than plain CG."""
+    from gpras_tpu.gp.exact_cg import kmv, make_woodbury_pinv, mbcg, pivoted_cholesky
+
+    rng = np.random.default_rng(13)
+    x = jnp.asarray(rng.normal(size=(128, 2)))
+    params = {"log_variance": jnp.asarray(0.0),
+              "log_lengthscales": jnp.asarray([1.0, 1.0]),
+              "log_noise_variance": jnp.asarray(np.log(1e-3))}
+    noise = jnp.exp(params["log_noise_variance"])
+    kd = np.asarray(K.gram("RBF", params, x)) + float(noise) * np.eye(128)
+    b = jnp.asarray(rng.normal(size=(128, 1)))
+    want = np.linalg.solve(kd, np.asarray(b))
+    mv = lambda v: kmv("RBF", params, x, v, noise, row_panel=32)
+
+    def err(iters, pinv):
+        sol, _, _, _ = mbcg(mv, b, max_iters=iters, pinv=pinv)
+        return float(np.linalg.norm(np.asarray(sol) - want) / np.linalg.norm(want))
+
+    l_pc = pivoted_cholesky("RBF", params, x, 20)
+    pinv, _ = make_woodbury_pinv(l_pc, noise)
+    assert err(20, pinv) < 1e-4, err(20, pinv)
+    assert err(20, None) > 10 * err(20, pinv)
