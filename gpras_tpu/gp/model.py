@@ -101,10 +101,11 @@ class GPRAS:
         exact_engine: str = "auto",
     ) -> None:
         """``exact_engine`` picks the exact-GP training loss ("auto" scales
-        with N: dense custom-VJP -> panel-scan lean backward (>8k, with the
-        in-place super-panel factorization >16k) -> matrix-free batched-CG
-        BBMM (>55k, no (N,N) buffer at all). Explicit values: "dense",
-        "lean", "hutchinson", "cg". Ignored for the sparse backend."""
+        with N: dense custom-VJP -> panel-scan lean backward (>8k) ->
+        Hutchinson stochastic-trace over the in-place super-panel
+        factorization (>16k) -> matrix-free batched-CG BBMM (>55k, no (N,N)
+        buffer at all). Explicit values: "dense", "lean", "hutchinson",
+        "cg". Ignored for the sparse backend."""
         if kernel not in K.KERNEL_NAMES:
             raise ValueError(f"Unknown kernel {kernel!r}")
         if exact_engine not in ("auto", "dense", "lean", "hutchinson", "cg"):
@@ -186,8 +187,15 @@ class GPRAS:
         n = self.x.shape[0]
         engine = self.exact_engine
         if engine == "auto":
+            # dense (exact grads) -> lean (exact grads, panel-scan backward)
+            # -> hutchinson (stochastic trace: the lean backward's O(N^3)
+            # inverse reconstruction costs ~10x the forward above ~16k;
+            # measured 0.46 s/step at 32k vs minutes for lean) -> matrix-free
+            # cg once one (N, N) buffer no longer fits HBM.
             if n > self.CG_THRESHOLD:
                 engine = "cg"
+            elif n > self.SUPER_THRESHOLD:
+                engine = "hutchinson"
             elif n > self.LEAN_THRESHOLD:
                 engine = "lean"
             else:
