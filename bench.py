@@ -101,11 +101,11 @@ def bench_exact_fit(n: int, steps: int = 10, d: int = 8) -> float:
         # at strip=4096 vs 11.5 s at 12288 for the 10-step fit at N=49152).
         strip = int(os.environ.get("GPRAS_BENCH_STRIP",
                                    16384 if n <= 32768 else 4096))
-        # w=1024 beats 2048 at large N (9.5 s vs 10.2 s at 49152): the slow
-        # inner-diagonal factorization shrinks faster than the panel-solve
-        # count grows.
+        # w=1024 beats 2048 at large N (9.5 vs 10.2 s at 49152; 4.14 vs
+        # 4.58 s at 32768): the slow inner-diagonal factorization shrinks
+        # faster than the panel-solve count grows.
         chol_w = int(os.environ.get("GPRAS_BENCH_CHOL_W",
-                                    2048 if n <= 32768 else 1024))
+                                    2048 if n < 32768 else 1024))
         h_loss = make_hutchinson_training_loss(
             kernel, probes=16, col_panel=4096, chol=chol, chol_strip=strip,
             chol_w=chol_w)

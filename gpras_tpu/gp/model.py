@@ -130,12 +130,19 @@ class GPRAS:
         n_inducing: int = 0,
         inducing_initializer: InductionInitializerType = "kmeans",
         optimization_method: OptimizerType = "two-stage",
+        initial_params: dict[str, Array] | None = None,
         **opt_kwargs: Any,
     ) -> None:
         """Fit one latent GP per output column of ``y``, all modes vmapped.
 
         Mirrors the reference's signature and defaults (gpras/gpr.py:237-275);
         ``n_inducing`` is ignored for the exact backend.
+
+        ``initial_params`` warm-starts the optimization from a batched
+        per-mode parameter pytree — e.g. ``model.params`` of a previous fit
+        or of a checkpoint loaded with ``from_file`` — enabling resumed /
+        staged training across sessions (the reference's monolithic optimizer
+        runs have no equivalent).
         """
         if self.model_type == "sgpr" and n_inducing <= 0:
             raise ValueError("sparse backend requires n_inducing > 0 "
@@ -147,11 +154,19 @@ class GPRAS:
         self.n_inducing = int(n_inducing)
         p_modes = self.y.shape[1]
 
-        params0 = self._init_params(inducing_initializer)
-        # broadcast identical init across modes (leading axis = mode)
-        batched0 = jax.tree.map(
-            lambda leaf: jnp.broadcast_to(leaf, (p_modes,) + leaf.shape), params0
-        )
+        if initial_params is not None:
+            lead = jax.tree.leaves(initial_params)[0].shape[0]
+            if lead != p_modes:
+                raise ValueError(
+                    f"initial_params has {lead} modes, y has {p_modes}")
+            batched0 = jax.tree.map(
+                lambda leaf: jnp.asarray(leaf, self.dtype), initial_params)
+        else:
+            params0 = self._init_params(inducing_initializer)
+            # broadcast identical init across modes (leading axis = mode)
+            batched0 = jax.tree.map(
+                lambda leaf: jnp.broadcast_to(leaf, (p_modes,) + leaf.shape),
+                params0)
 
         fitter = fitters.FITTERS[optimization_method]
         if optimization_method == "stochastic":

@@ -112,3 +112,39 @@ def test_exact_engine_rejects_unknown():
 
     with pytest.raises(ValueError):
         GPRAS("RBF", model_type="exact", exact_engine="nope")
+
+
+def test_fit_warm_start_resumes():
+    """initial_params resumes training: a second fit started from the first
+    fit's parameters reaches a loss at least as good, and a from_file
+    checkpoint round-trips into a warm start."""
+    import numpy as np
+    from gpras_tpu.gp.model import GPRAS
+
+    rng = np.random.default_rng(21)
+    x = rng.normal(size=(96, 2)).astype(np.float32)
+    y = (np.sin(x[:, 0]) + 0.05 * rng.normal(size=96)).astype(np.float32)[:, None]
+
+    m1 = GPRAS("RBF", model_type="exact")
+    m1.fit(x, y, optimization_method="adam", max_iter=8, learning_rate=0.05)
+    loss1 = float(np.asarray(m1.fit_info["loss"]))
+
+    m2 = GPRAS("RBF", model_type="exact")
+    m2.fit(x, y, optimization_method="adam", max_iter=8, learning_rate=0.05,
+           initial_params=m1.params)
+    loss2 = float(np.asarray(m2.fit_info["loss"]))
+    assert loss2 <= loss1 + 1e-3, (loss1, loss2)
+
+    import tempfile, pathlib
+    with tempfile.TemporaryDirectory() as d:
+        p = pathlib.Path(d) / "ck.npz"
+        m2.to_file(p)
+        m3 = GPRAS.from_file(p)
+        m3.fit(x, y, optimization_method="adam", max_iter=2,
+               learning_rate=0.01, initial_params=m3.params)
+        assert np.isfinite(float(np.asarray(m3.fit_info["loss"])))
+
+    import pytest
+    with pytest.raises(ValueError):
+        m2.fit(x, np.concatenate([y, y], axis=1), optimization_method="adam",
+               max_iter=2, initial_params=m1.params)
