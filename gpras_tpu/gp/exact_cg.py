@@ -56,11 +56,7 @@ from gpras_tpu.ops import linalg
 Array = jax.Array
 
 
-def _fit_panel(n: int, target: int) -> int:
-    p = min(target, n)
-    while n % p != 0:
-        p -= 1
-    return p
+from gpras_tpu.ops.block_cholesky import fit_block as _fit_panel  # canonical
 
 
 def kmv(kernel: str, params: dict[str, Array], x: Array, v: Array,
@@ -76,7 +72,7 @@ def kmv(kernel: str, params: dict[str, Array], x: Array, v: Array,
     """
     n = x.shape[0]
     if n >= 2048 and kernel in K.STATIONARY_KERNELS and \
-            jax.devices()[0].platform == "tpu":
+            x.dtype == jnp.float32 and jax.devices()[0].platform == "tpu":
         from gpras_tpu.ops.pallas_gram import pallas_kmv
 
         return pallas_kmv(kernel, params, x, v, noise=noise)
@@ -91,7 +87,10 @@ def kmv(kernel: str, params: dict[str, Array], x: Array, v: Array,
                          preferred_element_type=v.dtype)
         return jax.lax.dynamic_update_slice_in_dim(out, upd, r0, axis=0)
 
-    out = jax.lax.fori_loop(0, n_panels, body, jnp.zeros_like(v))
+    # seed the carry with a data dependence on x so the loop is usable under
+    # shard_map (VMA typing: the body output is varying over the mesh axis)
+    out0 = jnp.zeros_like(v) + jnp.zeros((), v.dtype) * x[0, 0]
+    out = jax.lax.fori_loop(0, n_panels, body, out0)
     return out + noise * v
 
 
@@ -212,8 +211,7 @@ def mbcg(matvec, b: Array, max_iters: int = 32, tol: float = 1e-6,
     return x, alphas, betas, rz0
 
 
-def _slq_logdet_from_coeffs(alphas: Array, betas: Array, b2: Array,
-                            n: int) -> Array:
+def _slq_logdet_from_coeffs(alphas: Array, betas: Array, b2: Array) -> Array:
     """Stochastic Lanczos quadrature: rebuild each probe's tridiagonal T from
     its CG coefficients and average ||z||^2 e1' log(T) e1.
 
@@ -232,7 +230,12 @@ def _slq_logdet_from_coeffs(alphas: Array, betas: Array, b2: Array,
         active = a > 0
         diag = 1.0 / safe_a
         diag = diag.at[1:].add(jnp.where(active[:-1], bt[:-1] / safe_a[:-1], 0.0))
-        off = jnp.where(active[:-1], jnp.sqrt(jnp.maximum(bt[:-1], 0.0)) / safe_a[:-1], 0.0)
+        # off-diagonal j<->j+1 exists only when BOTH nodes are active —
+        # otherwise the last real Lanczos node couples into the identity
+        # padding and shifts every Ritz value (breakdown-frozen columns
+        # record beta[i-1] = O(1) right before the freeze)
+        off = jnp.where(active[:-1] & active[1:],
+                        jnp.sqrt(jnp.maximum(bt[:-1], 0.0)) / safe_a[:-1], 0.0)
         diag = jnp.where(active, diag, 1.0)  # identity padding
         t = jnp.diag(diag) + jnp.diag(off, 1) + jnp.diag(off, -1)
         evals, evecs = jnp.linalg.eigh(t)
@@ -285,7 +288,7 @@ def make_cg_nlml(kernel: str, probes: int = 16, max_iters: int = 32,
         alpha_y = sol[:, 0]
         w = sol[:, 1:]
         logdet = logdet_p + _slq_logdet_from_coeffs(
-            alphas[:, 1:], betas[:, 1:], rz0[1:], n)
+            alphas[:, 1:], betas[:, 1:], rz0[1:])
         v = pinv(z) if precond_rank > 0 else z
         return alpha_y, w, v, logdet
 
@@ -360,7 +363,7 @@ def kmv_cross(kernel: str, params: dict[str, Array], x1: Array, x2: Array,
     Gram). v: (N2, R) -> (N1, R)."""
     n1 = x1.shape[0]
     if n1 >= 2048 and kernel in K.STATIONARY_KERNELS and \
-            jax.devices()[0].platform == "tpu":
+            x1.dtype == jnp.float32 and jax.devices()[0].platform == "tpu":
         from gpras_tpu.ops.pallas_gram import pallas_kmv
 
         return pallas_kmv(kernel, params, x1, v, x2=x2)
@@ -374,7 +377,8 @@ def kmv_cross(kernel: str, params: dict[str, Array], x1: Array, x2: Array,
                          preferred_element_type=v.dtype)
         return jax.lax.dynamic_update_slice_in_dim(out, upd, r0, axis=0)
 
-    out = jnp.zeros((n1,) + v.shape[1:], v.dtype)
+    out = jnp.zeros((n1,) + v.shape[1:], v.dtype) + \
+        jnp.zeros((), v.dtype) * x1[0, 0]
     return jax.lax.fori_loop(0, n1 // p, body, out)
 
 

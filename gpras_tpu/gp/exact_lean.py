@@ -92,9 +92,9 @@ def make_lean_nlml(kernel: str, col_panel: int = 2048,
     def bwd(res, g):
         params, x, y, l, alpha = res
         n = x.shape[0]
-        r = min(col_panel, n)
-        while n % r != 0:
-            r -= 1
+        from gpras_tpu.ops.block_cholesky import fit_block
+
+        r = fit_block(n, col_panel)
         n_panels = n // r
 
         def contract_tile(p, x_cols, kbar_tile):

@@ -102,9 +102,9 @@ def make_hutchinson_nlml(kernel: str, probes: int = 16, col_panel: int = 4096,
     def bwd(res, g):
         params, x, y, key, l, alpha = res
         n = x.shape[0]
-        r = min(col_panel, n)
-        while n % r != 0:
-            r -= 1
+        from gpras_tpu.ops.block_cholesky import fit_block
+
+        r = fit_block(n, col_panel)
         n_panels = n // r
         z = jax.random.rademacher(key, (n, probes), dtype=x.dtype)
         w = solve_fn(l, z)  # (N, m): K^{-1} Z

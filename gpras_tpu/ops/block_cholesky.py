@@ -116,7 +116,7 @@ def super_cholesky(k: Array, w: int = 4096, strip: int = 8192,
     if isinstance(precision, bool):  # legacy fast=True/False boolean
         precision = "default" if precision else "highest"
     prec = precision
-    inner_b = min(512, w)
+    inner_b = fit_block(w, 512)
     eye_w = jnp.eye(w, dtype=k.dtype)
     for i in range(s):
         g0 = i * w

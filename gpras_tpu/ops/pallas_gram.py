@@ -154,7 +154,9 @@ def gram(kernel: str, params: dict[str, Array], x1: Array,
     """Pallas when possible (TPU + stationary + big enough), else pure JAX."""
     on_tpu = jax.devices()[0].platform == "tpu"
     big = x1.shape[0] >= TILE_M and (x2 is None or x2.shape[0] >= TILE_N)
-    if on_tpu and big and kernel in KK.STATIONARY_KERNELS:
+    # the pallas kernel computes in f32; never silently downcast f64 inputs
+    if on_tpu and big and kernel in KK.STATIONARY_KERNELS \
+            and x1.dtype == jnp.float32:
         return pallas_gram(kernel, params, x1, x2, noise)
     k = KK.gram(kernel, params, x1, x2)
     if noise is not None and x2 is None:

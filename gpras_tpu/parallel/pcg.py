@@ -40,25 +40,14 @@ Array = jax.Array
 
 
 def _local_kmv(kernel, params, x_local, x_full, v, noise, row_panel, axis):
-    """One device's rows of (K + noise I) @ v: stream (panel, N) tiles of the
-    local Gram strip. x_local: (N/d, D), v: (N, R) replicated."""
+    """One device's rows of (K + noise I) @ v: this device's (N/d, N) Gram
+    strip contracted with the replicated v — exact_cg.kmv_cross streams the
+    tiles (and takes the fused Pallas matvec on TPU/f32), so no element of
+    the strip is ever resident."""
+    from gpras_tpu.gp.exact_cg import kmv_cross
+
     nl = x_local.shape[0]
-    p = min(row_panel, nl)
-    while nl % p != 0:
-        p -= 1
-
-    def body(j, out):
-        r0 = j * p
-        rows = jax.lax.dynamic_slice_in_dim(x_local, r0, p, axis=0)
-        tile = K.gram(kernel, params, rows, x_full)  # (p, N)
-        return jax.lax.dynamic_update_slice_in_dim(
-            out, jnp.matmul(tile, v, preferred_element_type=v.dtype), r0, 0)
-
-    # the carry must carry the 'varying over axis' type of the body output
-    # (shard_map VMA typing): seed it with a varying zero from x_local
-    out0 = jnp.zeros((nl,) + v.shape[1:], v.dtype) + \
-        jnp.zeros((), v.dtype) * x_local[0, 0]
-    out = jax.lax.fori_loop(0, nl // p, body, out0)
+    out = kmv_cross(kernel, params, x_local, x_full, v, row_panel)
     # noise * v restricted to this device's rows
     axis_idx = jax.lax.axis_index(axis)
     row0 = axis_idx * nl
@@ -78,7 +67,6 @@ def dist_mbcg(mesh: Mesh, kernel: str, params, x: Array, b: Array,
     psum.
     """
     n, r = b.shape
-    d = mesh.shape[axis]
 
     def body_fn(x_local, b_rep):
         b2 = jnp.sum(b_rep * b_rep, axis=0)
@@ -96,18 +84,24 @@ def dist_mbcg(mesh: Mesh, kernel: str, params, x: Array, b: Array,
             sol, p, res, rz, alphas, betas, done = carry
             ap = mv(p)
             pap = jnp.sum(p * ap, axis=0)
-            alpha = jnp.where(pap > 0, rz / jnp.maximum(pap, 1e-30), 0.0)
-            alpha = jnp.where(done, 0.0, alpha)
+            # f32 breakdown guard (same as exact_cg.mbcg): freeze a column
+            # permanently on non-positive/non-finite curvature or residual
+            # energy so no garbage enters the SLQ tridiagonal
+            broken = (pap <= 0) | ~jnp.isfinite(pap)
+            done_now = done | broken
+            alpha = jnp.where(done_now, 0.0, rz / jnp.where(pap > 0, pap, 1.0))
             sol = sol + alpha[None, :] * p
             res = res - alpha[None, :] * ap
             rz_new = jnp.sum(res * res, axis=0)
-            beta = jnp.where(rz > 0, rz_new / jnp.maximum(rz, 1e-30), 0.0)
-            beta = jnp.where(done, 0.0, beta)
+            broken2 = (rz_new <= 0) | ~jnp.isfinite(rz_new)
+            beta = jnp.where(done_now | broken2, 0.0,
+                             rz_new / jnp.where(rz > 0, rz, 1.0))
             p = res + beta[None, :] * p
             alphas = alphas.at[i].set(alpha)
             betas = betas.at[i].set(beta)
-            done = done | (rz_new <= stop2)
-            return sol, p, res, rz_new, alphas, betas, done
+            done = done_now | broken2 | (rz_new <= stop2)
+            rz_next = jnp.where(done, rz, rz_new)
+            return sol, p, res, rz_next, alphas, betas, done
 
         # all_gather'ed matvec outputs are typed 'varying over axis' under
         # shard_map; the carry must match from iteration 0
@@ -150,7 +144,7 @@ def make_dist_cg_nlml(mesh: Mesh, kernel: str, probes: int = 8,
                                        max_iters, row_panel=row_panel,
                                        axis=axis)
         b2 = jnp.sum(z * z, axis=0)
-        logdet = _slq_logdet_from_coeffs(alphas[:, 1:], betas[:, 1:], b2, n)
+        logdet = _slq_logdet_from_coeffs(alphas[:, 1:], betas[:, 1:], b2)
         return sol[:, 0], sol[:, 1:], z, logdet
 
     def value(params, x, y, key):
@@ -164,8 +158,10 @@ def make_dist_cg_nlml(mesh: Mesh, kernel: str, probes: int = 8,
         return value(params, x, y, key)
 
     def fwd(params, x, y, key):
-        out = value(params, x, y, key)
-        alpha_y, w, z, _ = solves(params, x, y, key)
+        n = x.shape[0]
+        alpha_y, w, z, logdet = solves(params, x, y, key)
+        out = (0.5 * jnp.vdot(y, alpha_y) + 0.5 * logdet
+               + 0.5 * n * math.log(2.0 * math.pi))
         return out, (params, x, alpha_y, w, z)
 
     def bwd(res, g):
