@@ -26,6 +26,15 @@ Design (right-looking, row-block layout, ``shard_map`` over mesh axis "i"):
 All functions are differentiable (fori_loop with static trip count + collective
 ops with defined transposes), so the distributed NLML can be used directly under
 ``jax.grad`` for multi-chip hyperparameter training.
+
+Why 1-D (row-strip) rather than 2-D block-cyclic: at the mesh sizes this
+framework targets (one ICI slice, <= 64 chips) the trailing update — the only
+O(N^3) term — is already perfectly parallel under row sharding
+(O(N^3 / (3 d)) per device), and the per-step panel all_gather is O(N b)
+regardless of layout. A 2-D block-cyclic layout only starts to pay when the
+panel broadcast dominates (hundreds of devices); for the N >= 100k axis the
+matrix-free row-sharded CG engine (parallel/pcg.py) is the better algorithm
+anyway — no O(N^2/d) residency at all.
 """
 
 from __future__ import annotations
