@@ -30,7 +30,8 @@ def make_k(key):
 def _perturb(x, out):
     # Data-depend each rep's input on the previous output so the axon
     # relay cannot memoize repeated identical executions.
-    return x + jnp.asarray(out).ravel()[0] * jnp.float32(1e-30)
+    eps = jnp.asarray(out).ravel()[0] * jnp.float32(1e-30)
+    return jax.tree.map(lambda a: a + eps.astype(a.dtype), x)
 
 
 def timeit(name, f, make_input, flops=None):
@@ -103,6 +104,35 @@ if "trsm" in ops:
         rhs = jax.lax.dynamic_slice(k, (0, 0), (N, m))
         return jax.scipy.linalg.solve_triangular(l, rhs, lower=True)
     timeit(f"trsm (N,N)\\(N,{m})", jax.jit(trsm), make_k, flops=N * N * m)
+
+if "kmv" in ops:
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+    from gpras_tpu.ops.pallas_gram import pallas_kmv
+    from gpras_tpu.ops import kernels as KK2
+    d = 8
+    rr = int(os.environ.get("RHS", "128"))
+    params = {"log_variance": jnp.zeros(()), "log_lengthscales": jnp.zeros((d,))}
+
+    def make_xv(key):
+        k1, k2 = jax.random.split(key)
+        return (jax.random.normal(k1, (N, d), jnp.float32),
+                jax.random.normal(k2, (N, rr), jnp.float32))
+
+    for tile in (256, 512, 1024):
+        def f(xv, tile=tile):
+            x, v = xv
+            return pallas_kmv("Matern52", params, x, v,
+                              noise=jnp.float32(0.1), tile_m=tile, tile_n=tile)
+        # flops: gram build 2*N*N*d + matvec 2*N*N*128(padded)
+        timeit(f"pallas_kmv tile={tile} (N={N}, R={rr})", jax.jit(f), make_xv,
+               flops=2 * N * N * (d + 128))
+
+    def f_jnp(xv):
+        x, v = xv
+        tile = KK2.gram("Matern52", params, x)
+        return tile @ v + 0.1 * v
+    timeit(f"xla gram+matmul (N={N}, R={rr})", jax.jit(f_jnp), make_xv,
+           flops=2 * N * N * (d + rr))
 
 if "gram" in ops:
     from gpras_tpu.ops import kernels as K

@@ -166,7 +166,8 @@ def gram(kernel: str, params: dict[str, Array], x1: Array,
 
 def pallas_kmv(kernel: str, params: dict[str, Array], x1: Array,
                v: Array, x2: Array | None = None,
-               noise: Array | None = None, interpret: bool = False) -> Array:
+               noise: Array | None = None, interpret: bool = False,
+               tile_m: int = 1024, tile_n: int = 1024) -> Array:
     """Fused (K(x1, x2) + noise I) @ v — the covariance tile never leaves VMEM.
 
     The matrix-free CG engine's matvec (gp/exact_cg.py) is bandwidth-bound
@@ -189,10 +190,10 @@ def pallas_kmv(kernel: str, params: dict[str, Array], x1: Array,
     n1 = x1.shape[0]
     n2, r = x2.shape[0], v.shape[1]
     ls = jnp.exp(params["log_lengthscales"]).astype(jnp.float32)
-    a = _pad_rows(x1.astype(jnp.float32) / ls, TILE_M)
-    b = _pad_rows(x2.astype(jnp.float32) / ls, TILE_N)
+    a = _pad_rows(x1.astype(jnp.float32) / ls, tile_m)
+    b = _pad_rows(x2.astype(jnp.float32) / ls, tile_n)
     # padded V rows are zero => padded Gram columns contribute nothing
-    v_p = _pad_rows(v.astype(jnp.float32), TILE_N)
+    v_p = _pad_rows(v.astype(jnp.float32), tile_n)
     r_pad = (-r) % 128
     if r_pad:
         v_p = jnp.concatenate(
@@ -203,16 +204,16 @@ def pallas_kmv(kernel: str, params: dict[str, Array], x1: Array,
           else jnp.asarray(noise, jnp.float32)).reshape(1, 1)
 
     out = pl.pallas_call(
-        partial(_kmv_body, kernel, tile_m=TILE_M, tile_n=TILE_N, square=square),
-        grid=(m_p // TILE_M, n_p // TILE_N),
+        partial(_kmv_body, kernel, tile_m=tile_m, tile_n=tile_n, square=square),
+        grid=(m_p // tile_m, n_p // tile_n),
         in_specs=[
-            pl.BlockSpec((TILE_M, a.shape[1]), lambda i, j: (i, 0)),
-            pl.BlockSpec((TILE_N, b.shape[1]), lambda i, j: (j, 0)),
-            pl.BlockSpec((TILE_N, v_p.shape[1]), lambda i, j: (j, 0)),
+            pl.BlockSpec((tile_m, a.shape[1]), lambda i, j: (i, 0)),
+            pl.BlockSpec((tile_n, b.shape[1]), lambda i, j: (j, 0)),
+            pl.BlockSpec((tile_n, v_p.shape[1]), lambda i, j: (j, 0)),
             pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),
         ],
-        out_specs=pl.BlockSpec((TILE_M, v_p.shape[1]), lambda i, j: (i, 0)),
+        out_specs=pl.BlockSpec((tile_m, v_p.shape[1]), lambda i, j: (i, 0)),
         out_shape=jax.ShapeDtypeStruct((m_p, v_p.shape[1]), jnp.float32),
         interpret=interpret,
     )(a, b, v_p, var, nz)
