@@ -69,6 +69,9 @@ def bench_exact_fit(n: int, steps: int = 10, d: int = 8) -> float:
         # compile time and needs separate K+L buffers, so the factorization
         # switches to the in-place super-panel engine.
         mode = "hutchinson"
+    if mode not in ("cg", "hutchinson", "lean"):
+        raise SystemExit(f"unknown GPRAS_BENCH_MODE {mode!r}; "
+                         "expected auto|lean|hutchinson|cg")
     if mode == "cg":
         # matrix-free BBMM (batched CG + SLQ): no (N, N) buffer at all —
         # the N >= 64k single-chip regime.
@@ -194,7 +197,9 @@ def bench_predict_throughput(n: int = 4096, m: int = 128, p_modes: int = 16,
     # execution the way a serving loop does, instead of paying one host
     # round-trip per batch.
     reps = 20
-    qs = [xq + jnp.float32(i + 1) * jnp.float32(1e-30) for i in range(reps)]
+    # i*1e-6 is above f32 ulp for N(0,1) queries (1e-30 would underflow to
+    # bitwise-identical batches) while perturbing predictions negligibly
+    qs = [xq + jnp.float32(i + 1) * jnp.float32(1e-6) for i in range(reps)]
     jax.block_until_ready(qs)
     float(qs[-1].ravel()[0])
     t0 = time.perf_counter()

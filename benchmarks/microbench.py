@@ -30,7 +30,9 @@ def make_k(key):
 def _perturb(x, out):
     # Data-depend each rep's input on the previous output so the axon
     # relay cannot memoize repeated identical executions.
-    eps = jnp.asarray(out).ravel()[0] * jnp.float32(1e-30)
+    # relative 1e-6 keeps the perturbation above f32 ulp (value-distinct
+    # inputs), while the data dependence also forces fresh buffers
+    eps = jnp.tanh(jnp.asarray(out).ravel()[0]) * jnp.float32(1e-6)
     return jax.tree.map(lambda a: a + eps.astype(a.dtype), x)
 
 
@@ -123,9 +125,10 @@ if "kmv" in ops:
             x, v = xv
             return pallas_kmv("Matern52", params, x, v,
                               noise=jnp.float32(0.1), tile_m=tile, tile_n=tile)
-        # flops: gram build 2*N*N*d + matvec 2*N*N*128(padded)
+        r_padded = ((rr + 127) // 128) * 128
+        # flops: gram build 2*N*N*d + matvec over the lane-padded RHS
         timeit(f"pallas_kmv tile={tile} (N={N}, R={rr})", jax.jit(f), make_xv,
-               flops=2 * N * N * (d + 128))
+               flops=2 * N * N * (d + r_padded))
 
     def f_jnp(xv):
         x, v = xv

@@ -153,6 +153,11 @@ class GPRAS:
             self.y = self.y[:, None]
         self.n_inducing = int(n_inducing)
         p_modes = self.y.shape[1]
+        # engine closures are configured for a specific N (chol engine,
+        # panel sizes); refitting with different data must rebuild them
+        self._cg_loss = None
+        self._hutch_loss = None
+        self._lean_loss = None
 
         if initial_params is not None:
             lead = jax.tree.leaves(initial_params)[0].shape[0]
@@ -317,11 +322,16 @@ class GPRAS:
 
     @property
     def _matrix_free(self) -> bool:
-        """True when the exact posterior must avoid any (N, N) buffer."""
+        """True when the exact posterior must avoid any (N, N) buffer.
+
+        Above SUPER_THRESHOLD the dense posterior cache is impossible no
+        matter the training engine: it would hold one (N, N) Cholesky factor
+        PER MODE (the XLA lowering is also impractical there), so prediction
+        goes through the matrix-free CG path (O(N * modes) cache of alphas +
+        chunked batched-CG variance solves)."""
         if self.model_type != "exact" or self.x is None:
             return False
-        return self.exact_engine == "cg" or (
-            self.exact_engine == "auto" and self.x.shape[0] > self.CG_THRESHOLD)
+        return self.exact_engine == "cg" or self.x.shape[0] > self.SUPER_THRESHOLD
 
     # ------------------------------------------------------------ serialization
 
@@ -337,6 +347,7 @@ class GPRAS:
         meta = {
             "kernel": self.kernel_str,
             "model_type": self.model_type,
+            "exact_engine": self.exact_engine,
             "n_inducing": self.n_inducing,
             "dtype": np.dtype(jnp.asarray(self.x).dtype).name,
             "param_names": sorted(self.params.keys()),
@@ -350,7 +361,8 @@ class GPRAS:
     def from_file(cls, path: str | Path) -> Self:
         meta, arrays = load_artifact(path)
         inst = cls(meta["kernel"], model_type=meta["model_type"],
-                   dtype=jnp.dtype(meta["dtype"]))
+                   dtype=jnp.dtype(meta["dtype"]),
+                   exact_engine=meta.get("exact_engine", "auto"))
         inst.n_inducing = int(meta["n_inducing"])
         inst.x = jnp.asarray(arrays["x"], dtype=inst.dtype)
         inst.y = jnp.asarray(arrays["y"], dtype=inst.dtype)

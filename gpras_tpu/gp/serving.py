@@ -35,14 +35,18 @@ class PosteriorPredictor:
                        if hf_preprocessor_path else None)
         if lf_preprocessor_path:
             from gpras_tpu.eof.preprocessor import HmsPreProcessor
+            from gpras_tpu.utils.serialization import load_artifact
 
-            meta, _ = __import__("gpras_tpu.utils.serialization",
-                                 fromlist=["load_artifact"]).load_artifact(
-                lf_preprocessor_path)
+            meta, _ = load_artifact(lf_preprocessor_path)
             cls = HmsPreProcessor if meta.get("class") == "HmsPreProcessor" else PreProcessor
             self.lf_pre = cls.from_file(lf_preprocessor_path)
         else:
-            self.lf_pre = self.hf_pre
+            # No silent HF fallback: transforming an LF field with the HF
+            # EOF basis returns garbage whenever the meshes happen to have
+            # the same cell count. predict_field refuses without an LF
+            # preprocessor; predict_modes (already-transformed inputs)
+            # remains usable.
+            self.lf_pre = None
 
     def _bucket(self, n: int) -> int:
         for b in self.buckets:

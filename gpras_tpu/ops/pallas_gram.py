@@ -103,7 +103,7 @@ def _pad_rows(x: Array, mult: int) -> Array:
     return x
 
 
-@partial(jax.jit, static_argnums=(0,))
+@partial(jax.jit, static_argnums=(0, 5))
 def pallas_gram(kernel: str, params: dict[str, Array], x1: Array,
                 x2: Array | None = None, noise: Array | None = None,
                 interpret: bool = False) -> Array:

@@ -43,8 +43,11 @@ def test_predict_field_composes_preprocessors(tmp_path):
     model.to_file(tmp_path / "gpr.npz")
     pre.to_file(tmp_path / "pre.npz")
 
+    # identity upskilling: LF and HF share one preprocessor — passed
+    # EXPLICITLY for both roles (no silent HF fallback)
     pred = PosteriorPredictor(tmp_path / "gpr.npz",
                               hf_preprocessor_path=tmp_path / "pre.npz",
+                              lf_preprocessor_path=tmp_path / "pre.npz",
                               buckets=(64,))
     out_field, out_var = pred.predict_field(field)
     assert out_field.shape == field.shape
