@@ -53,9 +53,11 @@ def make_lean_nlml(kernel: str, col_panel: int = 2048,
     if blocked is not None and engine is None:
         engine = "blocked"
     if engine == "super":
-        from gpras_tpu.ops.block_cholesky import blocked_cho_solve, super_cholesky
+        from gpras_tpu.ops.block_cholesky import (blocked_cho_solve, fit_block,
+                                                  super_cholesky)
 
-        chol = lambda k: super_cholesky(k, chol_w, chol_strip, chol_precision,
+        chol = lambda k: super_cholesky(k, fit_block(k.shape[0], chol_w),
+                                        chol_strip, chol_precision,
                                         zero_upper=False)
         solve = lambda l, r: blocked_cho_solve(l, r, 512)
     elif engine == "blocked":

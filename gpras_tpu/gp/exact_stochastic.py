@@ -59,12 +59,16 @@ def make_hutchinson_nlml(kernel: str, probes: int = 16, col_panel: int = 4096,
     """
 
     if chol == "super":
-        from gpras_tpu.ops.block_cholesky import blocked_cho_solve, super_cholesky
+        from gpras_tpu.ops.block_cholesky import (blocked_cho_solve, fit_block,
+                                                  super_cholesky)
         from gpras_tpu.ops.pallas_gram import gram as fused_gram
         # zero_upper=False: the tril is a second (N, N) buffer; the panel
         # solves and diag logdet below never read above the diagonal.
-        chol_fn = lambda k: super_cholesky(k, chol_w, chol_strip,
-                                           chol_precision, zero_upper=False)
+        # fit_block: the panel width must divide N (arbitrary event counts);
+        # worst case w == N degenerates to one direct small factorization.
+        chol_fn = lambda k: super_cholesky(
+            k, fit_block(k.shape[0], chol_w), chol_strip,
+            chol_precision, zero_upper=False)
         solve_fn = lambda l, r: blocked_cho_solve(l, r, 512)
     elif chol == "blocked":
         from gpras_tpu.ops.block_cholesky import blocked_cho_solve, blocked_cholesky

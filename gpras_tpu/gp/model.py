@@ -181,7 +181,16 @@ class GPRAS:
         def fit_one(params_i: dict[str, Array], y_i: Array):
             return fitter(lambda p: loss(p, y_i), params_i, **opt_kwargs)
 
-        fitted, info = jax.vmap(fit_one, in_axes=(0, 1))(batched0, self.y)
+        if self.model_type == "exact" and \
+                self.x.shape[0] > self.SUPER_THRESHOLD and p_modes > 1:
+            # vmap would hold one (N, N) factor PER MODE simultaneously
+            # (p x 9.7 GB at 49k) — run the modes sequentially instead; the
+            # body still compiles once.
+            fitted, info = jax.lax.map(
+                lambda args: fit_one(args[0], args[1]),
+                (batched0, jnp.moveaxis(self.y, 1, 0)))
+        else:
+            fitted, info = jax.vmap(fit_one, in_axes=(0, 1))(batched0, self.y)
         self.params = fitted
         self.fit_info = info
         self._cache = None

@@ -148,3 +148,25 @@ def test_fit_warm_start_resumes():
     with pytest.raises(ValueError):
         m2.fit(x, np.concatenate([y, y], axis=1), optimization_method="adam",
                max_iter=2, initial_params=m1.params)
+
+
+def test_large_n_multimode_uses_sequential_map(monkeypatch):
+    """Above SUPER_THRESHOLD multi-mode exact fits map modes sequentially
+    (one (N,N) factor live at a time) and still match the vmap result."""
+    import numpy as np
+    from gpras_tpu.gp.model import GPRAS
+
+    rng = np.random.default_rng(31)
+    x = rng.normal(size=(48, 2)).astype(np.float32)
+    y = np.stack([np.sin(x[:, 0]), np.cos(x[:, 1])], axis=1).astype(np.float32)
+
+    m_seq = GPRAS("RBF", model_type="exact", exact_engine="dense")
+    monkeypatch.setattr(GPRAS, "SUPER_THRESHOLD", 16)  # force the map path
+    m_seq.fit(x, y, optimization_method="adam", max_iter=6, learning_rate=0.05)
+    monkeypatch.undo()
+    m_vm = GPRAS("RBF", model_type="exact", exact_engine="dense")
+    m_vm.fit(x, y, optimization_method="adam", max_iter=6, learning_rate=0.05)
+    for k in m_vm.params:
+        np.testing.assert_allclose(np.asarray(m_seq.params[k]),
+                                   np.asarray(m_vm.params[k]), rtol=1e-5,
+                                   err_msg=k)
