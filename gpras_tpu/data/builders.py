@@ -288,8 +288,11 @@ class RasUpskillDataBuilder(DataBuilder):
                          flow_convergence_threshold=flow_convergence_threshold,
                          cutoffs=cutoffs, hf_resampler=hf_resampler,
                          hydraulic_parameter=hydraulic_parameter)
-        if hf_resampler is not None and lf_resampler is not None:
+        # honor caller-supplied pairings independently (replay consistency:
+        # a saved lf_cell_id pairing must not be silently recomputed)
+        if hf_resampler is not None:
             self.hf_resampler = hf_resampler
+        if lf_resampler is not None:
             self.lf_resampler = lf_resampler
 
     def get_lf_plan_data(self, plan: str) -> pd.DataFrame:
@@ -350,8 +353,10 @@ class RasUpskillDataBuilder(DataBuilder):
         lf_cents = self._lf_mesh.centroids[lf_idx]
         k = min(9, len(lf_idx))
         _, cand = cKDTree(lf_cents).query(self.hf_centroids_aoi, k=k)
-        cand = np.atleast_2d(cand.astype(np.int32))
+        cand = cand.astype(np.int32)
         if cand.ndim == 1:
+            # k=1: query returns (S,); np.atleast_2d would give (1, S) and
+            # feed a malformed candidate matrix to the native clipper
             cand = cand[:, None]
         best, area = native.best_overlap_batch(hf_verts, hf_counts,
                                                lf_verts, lf_counts, cand)
@@ -391,7 +396,7 @@ class RasUpskillDataBuilder(DataBuilder):
         return base
 
 
-class RasInterpolaterBuilder(RasUpskillDataBuilder):
+class RasInterpolaterBuilder(RasUpskillDataBuilder):  # noqa: D101
     """Delaunay LF->HF interpolation (reference gpras/preprocess.py:430-451),
     with the per-timestep interpolator loop replaced by precomputed barycentric
     weights applied as one vectorized gather + weighted sum."""
@@ -415,6 +420,13 @@ class RasInterpolaterBuilder(RasUpskillDataBuilder):
         return verts, weights
 
     def get_lf_plan_data(self, plan: str) -> pd.DataFrame:
+        if self.hydraulic_parameter == "velocity":
+            # the reference interpolater is WSE-only (preprocess.py:437-450);
+            # silently pairing interpolated WSE with HF velocities would
+            # train a nonsense mapping — refuse loudly instead
+            raise ValueError("RasInterpolaterBuilder supports "
+                             "hydraulic_parameter='wse'/'depth' only; use "
+                             "lf_model_type='ras_upskill' for velocity")
         ph = self.lf_ras.plan_hdfs[plan]
         dt_index = ph.timestamps()
         z = ph.mesh_timeseries_output(self.mesh_id, "Water Surface")
@@ -635,7 +647,14 @@ class PseudoSurfaceDataBuilder(DataBuilder):
         us = bc_all[:, 0]
         ds = bc_all[:, 1]
         rng = us - ds
-        self.cl_interpolater = np.median((us[:, None] - wses) / rng[:, None], axis=0)
+        # flat pools (us == ds within float precision) carry no gradient
+        # information and would contribute inf/NaN fractional drops
+        flat = np.abs(rng) < 1e-9 * np.maximum(np.abs(us), 1.0)
+        if np.all(flat):
+            raise ValueError("centerline interpolater: every timestep with "
+                             "positive BC flow has a flat pool (us == ds)")
+        ratios = (us[~flat, None] - wses[~flat]) / rng[~flat, None]
+        self.cl_interpolater = np.median(ratios, axis=0)
 
     def interpolate_centerline(self, us_wse: np.ndarray, ds_wse: np.ndarray) -> np.ndarray:
         """(T, centerline_cells) WSE by fractional-drop interpolation

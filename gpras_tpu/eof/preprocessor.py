@@ -226,10 +226,13 @@ class PreProcessor:
 
     def _classify_depths(self, max_depth: np.ndarray, min_depth: np.ndarray) -> np.ndarray:
         """AD (always dry) / TF (transitionally flooded) / AF (always flooded),
-        exactly the threshold logic of gpras/preprocess.py:1128-1133."""
-        classes = np.empty(max_depth.shape, dtype="<U2")
+        the threshold logic of gpras/preprocess.py:1128-1133 — with one
+        deliberate deviation: the reference leaves cells with
+        max_depth == wet_threshold (or NaN) UNINITIALIZED (np.empty garbage);
+        here they default to TF, which keeps the cell in the EOF basis (the
+        safe direction)."""
+        classes = np.full(max_depth.shape, "TF", dtype="<U2")
         classes[max_depth < self.wet_threshold] = "AD"
-        classes[max_depth > self.wet_threshold] = "TF"
         classes[min_depth > self.wet_threshold] = "AF"
         return classes
 
@@ -354,6 +357,13 @@ class HmsPreProcessor:
         return (feats - self.x_mean) / self.x_std
 
     @staticmethod
+    # NOTE (parity caveat): like the reference (gpras/preprocess.py:1251-1256),
+    # the API features below are convolved across the CONCATENATED multi-event
+    # frame, so a decayed tail of one event leaks into the next event's first
+    # timesteps. Both training and inference stack events the same way, so the
+    # treatment is at least consistent; a per-event reset would need event
+    # boundaries plumbed into transform() and is left as a documented deviation
+    # candidate.
     def calc_antecedent_precipitation_index(
         x: np.ndarray, k: float = 0.85, window: int | None = None
     ) -> np.ndarray:

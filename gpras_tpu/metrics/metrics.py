@@ -26,6 +26,7 @@ POD/RFA/CSI.
 
 from __future__ import annotations
 
+import contextlib
 import sqlite3
 from functools import partial
 from pathlib import Path

@@ -141,6 +141,14 @@ class Config:
         "help": "GP backend: sparse collapsed-ELBO ('sgpr') or dense exact GP "
                 "with custom-VJP NLML ('exact').",
         "choices": ["sgpr", "exact"], "example": "sgpr"})
+    fi_time_tolerance: int = field(default=0, metadata={
+        "help": "Fidelity-index peak-time tolerance in timesteps "
+                "(addition over the reference; its fi used 0).",
+        "example": 3})
+    fi_value_tolerance: float = field(default=0.0, metadata={
+        "help": "Fidelity-index value tolerance (same units as the "
+                "hydraulic parameter; the reference's fi used 0).",
+        "example": 0.1})
     dtype: str = field(default="float32", metadata={
         "help": "Device compute dtype. float32 is the TPU-native default "
                 "(the reference runs float64 on CPU).",

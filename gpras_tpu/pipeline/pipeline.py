@@ -110,7 +110,8 @@ def pipeline(config: Config) -> dict[str, Any]:
     hf_reducer, lf_reducer = get_pre_processors(config, hf_data_df, lf_data_df, extracter)
     y = hf_reducer.transform(hf_data_df.values)
     x = lf_reducer.transform(lf_data_df.values)
-    y_test = hf_reducer.transform(hf_test_df.values)
+    # y_test (HF test modes) is only consumed by the diagnostic plots
+    y_test = hf_reducer.transform(hf_test_df.values) if config.generate_plots else None
     x_test = lf_reducer.transform(lf_test_df.values)
 
     # ---------------------------------------------------------------------- fit
@@ -151,6 +152,9 @@ def pipeline(config: Config) -> dict[str, Any]:
         pd.DataFrame(y_test_pred_depth, index=hf_test_df.index, columns=hf_test_df.columns),
         pd.DataFrame(np.sqrt(y_test_var), index=hf_test_df.index, columns=hf_test_df.columns),
         config.metric_db_path,
+        depth_threshold=config.wet_threshold_depth,
+        t_tol=config.fi_time_tolerance,
+        v_tol=config.fi_value_tolerance,
         hydraulic_parameter=config.hydraulic_parameter,
     )
     timers = {"load_data": t2 - t1, "preprocess_data": t3 - t2,
