@@ -47,8 +47,11 @@ class InitialCondition:
             ic_type = "IC Point"
         else:
             raise ValueError(f"Not an initial-condition row: {line!r}")
-        idx, elevation = (p.strip() for p in value.replace(" ", "").split(",")[:2])
-        return cls(idx, elevation, ic_type)
+        # deviation from the reference (gpras/ras/flow.py:58, which strips
+        # ALL spaces): HEC-RAS area names routinely contain interior spaces
+        # ("Perimeter 1"); only the padding around the fields is stripped
+        name, _, elev = value.rpartition(",")
+        return cls(name.strip(), elev.strip(), ic_type)
 
 
 class InitialConditions:
@@ -147,6 +150,8 @@ class FlowHydrographBC(BoundaryCondition):
         self.interval = interval
         self.dss_file = dss_file
         self.dss_path = dss_path
+        # defaults match the reference template (gpras/ras/flow.py:168-189);
+        # parse() preserves file values (the reference resets them)
         self.flow_hydrograph = " 0 "
         self.flow_hydrograph_slope = ""
 
@@ -169,6 +174,7 @@ class FlowHydrographBC(BoundaryCondition):
     def parse(cls, block: str) -> "FlowHydrographBC":
         header: dict[str, str] = {}
         kwargs: dict[str, str] = {}
+        extras: dict[str, str] = {}
         for line in block.split("\n"):
             if line.startswith("Boundary Location="):
                 header = _parse_bc_header(line)
@@ -178,7 +184,14 @@ class FlowHydrographBC(BoundaryCondition):
                 kwargs["dss_file"] = line.partition("=")[2]
             elif line.startswith("DSS Path="):
                 kwargs["dss_path"] = line.partition("=")[2]
-        return cls(**kwargs, **header)
+            elif line.startswith("Flow Hydrograph="):
+                extras["flow_hydrograph"] = line.partition("=")[2]
+            elif line.startswith("Flow Hydrograph Slope="):
+                extras["flow_hydrograph_slope"] = line.partition("=")[2].lstrip()
+        inst = cls(**kwargs, **header)
+        for k, v in extras.items():
+            setattr(inst, k, v)
+        return inst
 
 
 def parse_boundary_condition(block: str) -> BoundaryCondition:
@@ -453,6 +466,13 @@ class UnsteadyFlowFile:
         current: tuple[Callable[[str], None] | None, list[str]] | None = None
         for line in text.split("\n"):
             key = line.partition("=")[0] if "=" in line else line
+            if key not in table and line.startswith("Met BC="):
+                # met lines are 'Met BC=<param>|<attr>=<value>': the
+                # registered prefix includes the attr, i.e. everything up to
+                # the SECOND '=' — keying on the first '=' would silently
+                # drop every meteorological attribute on parse
+                pre, _, rest = line.partition("|")
+                key = f"{pre}|{rest.partition('=')[0]}"
             if key in table:
                 if current is not None:
                     blocks.append(current)

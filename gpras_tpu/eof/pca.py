@@ -44,6 +44,12 @@ def pca_fit(x: Array, n_components: int | None = None) -> tuple[Array, Array]:
         u = evecs[:, ::-1][:, :k]  # (S, k)
         sigma = jnp.sqrt(jnp.maximum(evals, 1e-30))
         comps = (x.T @ (u / sigma[None, :])).T  # (k, F): V^T rows
+        # centered input always has a ~0 eigenvalue (the ones direction);
+        # dividing that column by sqrt(~0) would amplify float noise into a
+        # garbage "component" — zero such rows instead (their explained
+        # variance is ~0, so downstream mode selection drops them anyway)
+        rank_ok = evals > 1e-12 * jnp.maximum(evals[0], 1e-30)
+        comps = jnp.where(rank_ok[:, None], comps, 0.0)
     else:
         # covariance trick: eigh of (F, F)
         c = jnp.matmul(x.T, x, preferred_element_type=x.dtype)

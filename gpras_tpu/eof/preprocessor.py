@@ -151,7 +151,11 @@ class PreProcessor:
 
         xp = np.asarray(_project(jnp.asarray(x), jnp.asarray(self.eofs)))
         self.x_mean = xp.mean(axis=0)
-        self.x_std = xp.std(axis=0)
+        x_std = xp.std(axis=0)
+        # a rank-deficient field (or user-forced mode count beyond the rank)
+        # yields zero-variance null modes; unit std keeps them as constant
+        # zero features instead of NaN-ing the standardization
+        self.x_std = np.where(x_std > 0, x_std, 1.0)
         self._var_transform_cache = None
 
     # ----------------------------------------------------------------- transform

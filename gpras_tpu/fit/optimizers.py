@@ -209,8 +209,14 @@ def two_stage_fit(
     loss_fn: LossFn, params: Params, max_iter: int = 100, **adam_kwargs: Any
 ) -> tuple[Params, dict[str, Array]]:
     """Adam on Z only, then Adam on all other params with Z frozen
-    (reference gpras/gpr.py:112-127)."""
-    p, _ = adam_fit(loss_fn, params, max_iter, mask=mask_only(params, ("z",)), **adam_kwargs)
+    (reference gpras/gpr.py:112-127). For models without inducing inputs
+    (the exact backend) the Z stage would run ~patience full NLML+gradient
+    evaluations with an all-zero mask — it is skipped."""
+    if "z" in params:
+        p, _ = adam_fit(loss_fn, params, max_iter,
+                        mask=mask_only(params, ("z",)), **adam_kwargs)
+    else:
+        p = params
     p, info = adam_fit(loss_fn, p, max_iter, mask=mask_except(p, ("z",)), **adam_kwargs)
     return p, info
 
@@ -219,8 +225,11 @@ def three_stage_fit(
     loss_fn: LossFn, params: Params, max_iter: int = 100
 ) -> tuple[Params, dict[str, Array]]:
     """Adam on Z, L-BFGS on hypers (Z frozen), L-BFGS polish on everything
-    (reference gpras/gpr.py:130-144)."""
-    p, _ = adam_fit(loss_fn, params, max_iter, mask=mask_only(params, ("z",)))
+    (reference gpras/gpr.py:130-144). The Z stage is skipped when the model
+    has no inducing inputs (see two_stage_fit)."""
+    p = params
+    if "z" in params:
+        p, _ = adam_fit(loss_fn, p, max_iter, mask=mask_only(p, ("z",)))
     p, _ = lbfgs_fit(loss_fn, p, max_iter, mask=mask_except(p, ("z",)))
     p, info = lbfgs_fit(loss_fn, p, max_iter)
     return p, info

@@ -227,7 +227,9 @@ def _check_divisible(n: int, d: int, b: int) -> None:
     if n % d != 0:
         raise ValueError(f"N={n} must be divisible by the mesh axis size {d}")
     nr = n // d
-    if nr % b != 0 and b % nr != 0:
-        raise ValueError(f"block size {b} incompatible with local rows {nr}")
-    if n % b != 0:
-        raise ValueError(f"N={n} must be divisible by block size {b}")
+    # b must divide the PER-DEVICE row count: the panel slices are (b, n)
+    # windows of the local (nr, n) strip, so b > nr cannot work (it used to
+    # slip through via a b % nr escape hatch and crash opaquely at trace)
+    if nr % b != 0:
+        raise ValueError(f"block size {b} must divide local rows {nr} "
+                         f"(N={n} over {d} devices)")

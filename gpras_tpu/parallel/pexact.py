@@ -50,7 +50,16 @@ def _noise_plus_jitter(params, dtype):
 
 def dist_nlml_forward(mesh: Mesh, kernel: str, params: dict[str, Array],
                       x: Array, y: Array, b: int = 128):
-    """(nlml, (l, alpha)) with the factor left sharded on the mesh."""
+    """(nlml, (l, alpha)) with the factor left sharded on the mesh.
+
+    ``y`` must be a single output column (N,): the logdet and constant terms
+    are counted once (for multi-mode models, vmap/lax.map over modes — see
+    GPRAS.fit — rather than passing an (N, P) matrix, which would silently
+    drop P-1 logdet terms).
+    """
+    if y.ndim != 1:
+        raise ValueError(f"dist_nlml expects y of shape (N,), got {y.shape}; "
+                         "map over output modes instead")
     n = x.shape[0]
     k = pgram_rows(mesh, kernel, params, x, noise=_noise_plus_jitter(params, x.dtype))
     l = dist_cholesky(mesh, k, b=b)
@@ -82,7 +91,6 @@ def make_dist_nlml(mesh: Mesh, kernel: str, b: int = 128, col_batch: int = 256):
         while n % c != 0:
             c -= 1
         nbatch = n // c
-        noise_jitter_sens = jnp.zeros(())  # accumulated via diagonal of k_bar
 
         def local_contract(p, x_rows, x_cols, kbar_tile):
             """vjp of the local Gram tile w.r.t. params.

@@ -226,3 +226,32 @@ def test_ras_model_prj_mutation(tmp_path):
     pf2 = PlanFile({"Plan Title": "added2"})
     new_path2 = model.add_text_file(pf2)
     assert new_path2.endswith(".p02")
+
+
+def test_flow_file_met_attrs_and_ic_names_roundtrip(tmp_path):
+    """Regression: met 'Met BC=<param>|<attr>=<value>' lines must survive the
+    parse (the dispatch key spans two '='), IC names keep interior spaces,
+    and inline flow-hydrograph slope values are preserved."""
+    from gpras_tpu.data.flow_file import (FlowHydrographBC, InitialCondition,
+                                          UnsteadyFlowFile, precipitation)
+
+    f = UnsteadyFlowFile("test")
+    f.precipitation = precipitation(mode="Gridded", dss_filename="rain.dss",
+                                    dss_pathname="/A/B/PRECIP///1HOUR/RUN/")
+    f.initial_conditions.ics.append(
+        InitialCondition("Perimeter 1", "840.7", "2D"))
+    bc = FlowHydrographBC(interval="1HOUR", dss_file="flows.dss",
+                          dss_path="/X/Y/FLOW//1HOUR/RUN/",
+                          sa_2d_id="Perimeter 1", mesh_name="mesh",
+                          bc_line_id="Inflow")
+    bc.flow_hydrograph_slope = "0.0003"
+    f.boundary_conditions.bcs.append(bc)
+
+    text = f.emit()
+    g = UnsteadyFlowFile.from_string(text)
+    assert g.precipitation.get("Mode") == "Gridded"
+    assert g.precipitation.get("Gridded DSS Filename") == "rain.dss"
+    assert g.initial_conditions.ics[0].idx == "Perimeter 1"
+    assert g.boundary_conditions.bcs[0].flow_hydrograph_slope == "0.0003"
+    # emission is a fixpoint
+    assert g.emit() == text
