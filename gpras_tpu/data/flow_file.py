@@ -12,6 +12,11 @@ consumers): the file is first **segmented** into prefix-keyed blocks in one pass
 then each block is handed to its section's ``parse`` — segmentation and
 interpretation are decoupled, which makes round-trip tests and new sections
 straightforward.
+
+Known-unmodeled groups (checked against a real HEC-RAS 6.4 .u01): the
+'Observed Time Series=...' block is dropped on parse and the FlowOptions
+template is re-emitted wholesale — identical behavior to the reference's
+trigger parser (gpras/ras/flow.py:512-658), which models neither.
 """
 
 from __future__ import annotations
