@@ -262,6 +262,25 @@ def main() -> None:
         "steps": steps,
         "storm_event_predictions_per_sec": round(pred_rate, 1),
     }
+    # Secondary capability point: the matrix-free CG engine at 131,072 —
+    # beyond any factorization's HBM ceiling (the matrix would be 64 GB).
+    # Measured in-run (cached compile ~30 s warm); disable with
+    # GPRAS_BENCH_EXTRA=0.
+    if os.environ.get("GPRAS_BENCH_EXTRA", "1") == "1":
+        try:
+            env = dict(os.environ, GPRAS_BENCH_MODE="cg",
+                       GPRAS_BENCH_CG_ITERS="24")
+            proc = subprocess.run(
+                [sys.executable, os.path.abspath(__file__), "--single",
+                 "131072", str(steps)],
+                capture_output=True, text=True, timeout=timeout, env=env)
+            for line in proc.stdout.splitlines():
+                if line.startswith("ELAPSED "):
+                    result["matrix_free_cg_n131072_seconds"] = round(
+                        float(line.split()[1]), 4)
+                    break
+        except Exception as e:  # never fail the headline for the extra
+            print(f"# cg-131k extra failed: {e}", file=sys.stderr)
     print(json.dumps(result))
 
 
