@@ -47,8 +47,34 @@ def set_dss_factory(factory) -> None:
     _DSS_FACTORY = factory
 
 
+class _RealDssAdapter:
+    """Adapts the real hecdss.HecDss to this gateway's 2-arg ``put``.
+
+    hecdss's own signature is ``put(container)`` with the pathname carried on
+    ``container.id``; every caller here uses ``put(record, path)`` (the
+    FakeDss seam's API), so adapt rather than leak the difference. A shallow
+    copy is stored per put so callers may reuse/mutate a template record."""
+
+    def __init__(self, inner):
+        self._inner = inner
+
+    def put(self, record, path: str) -> None:
+        import copy
+
+        rec = copy.copy(record)
+        rec.id = str(path)
+        self._inner.put(rec)
+
+    def __getattr__(self, name):
+        return getattr(self._inner, name)
+
+
 def open_dss(path: str):
-    return require_hecdss()(str(path))
+    cls = require_hecdss()
+    inner = cls(str(path))
+    if _DSS_FACTORY is not None:
+        return inner  # fakes already speak the 2-arg put API
+    return _RealDssAdapter(inner)
 
 
 # ---------------------------------------------------------------------------
@@ -107,8 +133,13 @@ class FakeDss:
         return self._records[self._normalize(path)]
 
     def put(self, record: FakeRecord, path: str) -> None:
-        self._records[self._normalize(path)] = record
-        self.stores.setdefault(self.path, {})[self._normalize(path)] = record
+        # snapshot: callers commonly mutate one template record per put
+        import copy
+
+        snap = copy.copy(record)
+        snap.data = np.array(record.data, copy=True) if record.data is not None else None
+        self._records[self._normalize(path)] = snap
+        self.stores.setdefault(self.path, {})[self._normalize(path)] = snap
 
     @staticmethod
     def _normalize(path: str) -> str:

@@ -186,10 +186,11 @@ class PlanFile:
         settings: dict[str, str] = {}
         with open(path) as f:
             for line in f:
-                parts = line.split("=")
-                if len(parts) != 2:
+                key, sep, value = line.partition("=")
+                if not sep:
                     continue
-                settings[parts[0]] = parts[1].rstrip("\n")
+                # partition, not split: values may themselves contain '='
+                settings[key] = value.rstrip("\n")
         return settings
 
     @classmethod

@@ -96,7 +96,7 @@ class RasReader:
 
     @staticmethod
     def is_valid(db_path: str | Path) -> bool:
-        if not os.path.exists(db_path):
-            return False
+        if not os.path.isdir(db_path):
+            return False  # missing OR a stray regular file: rebuild the DB
         files = os.listdir(db_path)
         return all(i in files for i in DB_PATHS.values())

@@ -29,8 +29,12 @@ class CVConfig(Config):
 
     @cached_property
     def train_plans(self) -> list[str]:
+        # deviation from the reference (cross_validation.py:19, which filters
+        # set == "AEP" only): the three "Max" preselects are part of the
+        # AEP-targeted design and excluding them drops exactly the most
+        # extreme training events from every sweep
         return [i["plan_title"] for i in self.event_plan_json
-                if i["type"] == "Train" and i["set"] == "AEP"]
+                if i["type"] == "Train" and i["set"] in ("AEP", "Max")]
 
     @cached_property
     def test_plans(self) -> list[str]:

@@ -52,7 +52,11 @@ def block_maxima_return_periods(values: np.ndarray, arrival_rate: int) -> np.nda
             slope_hi = (yb[-1] - yb[-2]) / (xb[-1] - xb[-2])
             out = np.where(lo, yb[0] + slope_lo * (x - xb[0]), out)
             out = np.where(hi, yb[-1] + slope_hi * (x - xb[-1]), out)
-        return out
+        # linear extrapolation below the smallest block maximum can go
+        # negative (the reference lets it — negative recurrence intervals
+        # then break its relative-tolerance dedup and leak into the STAC);
+        # clamp to a small positive floor, preserving order via the clip
+        return np.maximum(out, 0.01)
 
     return interp_extrap(v)
 
@@ -160,6 +164,10 @@ class EventSelection:
 
         selected_list = list(selected_event_ids)
         candidates = [i for i in scaled.index if i not in set(selected_list)]
+        if len(candidates) < num_to_select:
+            raise ValueError(
+                f"diversity fill needs {num_to_select} more events but only "
+                f"{len(candidates)} remain in the catalog")
         added = []
         for _ in range(num_to_select):
             sel_vecs = scaled.loc[selected_list].values
@@ -234,7 +242,13 @@ def write_events_stac(selected_df: pd.DataFrame, s3_prefix: str,
     (reference event_selection.py:260-302)."""
     assets = {}
     for _, row in selected_df.iterrows():
-        event_id = int(row["event_id"])
+        # SST catalogs use integer ids (the reference int()s them,
+        # event_selection.py:266); keep non-numeric ids as-is
+        raw_id = row["event_id"]
+        try:
+            event_id: Any = int(raw_id)
+        except (TypeError, ValueError):
+            event_id = str(raw_id)
         assets[str(event_id)] = {
             "href": f"{s3_prefix}/{event_id}/hydrology/SST.dss",
             "type": "application/x.hec-dss",

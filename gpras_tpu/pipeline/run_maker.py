@@ -142,6 +142,10 @@ def add_boundary_conditions_to_unsteady_flow(flow: UnsteadyFlowFile,
     elements = [c.B for c in catalog]
     time_bounds = ""
     first = True
+    # never inherit another event's simulation window: a catalog with no
+    # matching BC records must fail loudly, not reuse stale times
+    settings.start_time = None
+    settings.end_time = None
     for bc in flow.boundary_conditions.bcs:
         if bc.bc_line_id.strip() != "":
             ele_id = clean_ffrd_bc(bc.bc_line_id)
@@ -153,7 +157,13 @@ def add_boundary_conditions_to_unsteady_flow(flow: UnsteadyFlowFile,
             continue
         if ele_id not in elements or not isinstance(bc, FlowHydrographBC):
             continue
-        path = [c for c in catalog if c.B == ele_id and c.C == param][0]
+        matches = [c for c in catalog if c.B == ele_id and c.C == param]
+        if not matches:
+            raise RuntimeError(
+                f"SST DSS has records for element {ele_id!r} but none with "
+                f"C part {param!r} (catalog C parts: "
+                f"{sorted({c.C for c in catalog if c.B == ele_id})})")
+        path = matches[0]
         if first:
             record = dss.get(str(path))
             times = record.times
@@ -171,6 +181,13 @@ def add_boundary_conditions_to_unsteady_flow(flow: UnsteadyFlowFile,
         bc.dss_file = settings.flow_dss_path_relative
         bc.dss_path = "/".join(parts)
         bc.flow_hydrograph_slope = "0.001 "
+    if settings.start_time is None:
+        raise RuntimeError(
+            "No flow-hydrograph BC in the template matched any record in "
+            f"{settings.flow_dss_path_absolute}; cannot derive the event's "
+            "simulation window")
+    if hasattr(dss, "close"):
+        dss.close()
     return flow
 
 
@@ -215,7 +232,11 @@ def hdf_2_dss(settings: Settings) -> None:
     if hasattr(dss, "delete"):
         for c in catalog:
             dss.delete(str(c))
-    for i in np.arange(start=-72, stop=0):
+    # Reference convention (make_ras_runs.py:274): the LAST 72 hourly grids,
+    # stamped from the simulation start — callers size the window to 72 h
+    # (the SST event length); shorter records use everything they have.
+    n_rows = min(72, data.shape[0])
+    for i in np.arange(start=-n_rows, stop=0):
         template.data = np.flipud(np.reshape(data[i, :], shape))
         dss.put(template, settings.precip_dss_data_path.format(
             t_i.strftime("%d%b%Y:%H%M"), t_j.strftime("%d%b%Y:%H%M")))

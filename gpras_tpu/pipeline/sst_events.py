@@ -33,9 +33,13 @@ def extract_event_series(dss_path: str, element: str) -> pd.DataFrame | None:
         rec = dss.get(str(hits[0]))
         return pd.Series(np.asarray(rec.values), index=pd.to_datetime(rec.times))
 
-    precip_cum = series("PRECIP-CUM")
-    precip_exc = series("PRECIP-EXCESS")
-    inflow = series("FLOW")
+    try:
+        precip_cum = series("PRECIP-CUM")
+        precip_exc = series("PRECIP-EXCESS")
+        inflow = series("FLOW")
+    finally:
+        if hasattr(dss, "close"):
+            dss.close()  # one native handle per event under the thread pool
     if inflow is None:
         return None
     df = pd.DataFrame({"inflow": inflow})
