@@ -217,3 +217,30 @@ def test_dist_cg_nlml_matches_single_chip():
         ge, gd = np.asarray(g_exact[name]), np.asarray(g_dist[name])
         scale = max(np.max(np.abs(ge)), 1.0)
         np.testing.assert_allclose(gd, ge, atol=0.35 * scale, err_msg=name)
+
+
+def test_sharded_predict_matches_single_device():
+    """Event-sharded posterior == single-device GPRAS.predict for both
+    backends (queries row-sharded, factors replicated, zero collectives)."""
+    import numpy as np
+    import jax.numpy as jnp
+
+    from gpras_tpu.gp.model import GPRAS
+    from gpras_tpu.parallel import make_mesh
+    from gpras_tpu.parallel.ppredict import sharded_predict
+
+    mesh = make_mesh((8,), ("i",))
+    rng = np.random.default_rng(17)
+    x = rng.normal(size=(96, 2)).astype(np.float64)
+    y = np.stack([np.sin(x[:, 0]), np.cos(x[:, 1])], axis=1)
+    xq = rng.normal(size=(64, 2)).astype(np.float64)
+
+    for backend, kwargs in (("sgpr", {"n_inducing": 12}), ("exact", {})):
+        m = GPRAS("RBF", model_type=backend, dtype=jnp.float64)
+        m.fit(x, y, optimization_method="adam", max_iter=5, **kwargs)
+        want_mean, want_var = m.predict(xq)
+        got_mean, got_var = sharded_predict(mesh, m, xq)
+        np.testing.assert_allclose(np.asarray(got_mean), want_mean, rtol=1e-8,
+                                   err_msg=backend)
+        np.testing.assert_allclose(np.asarray(got_var), want_var, rtol=1e-8,
+                                   err_msg=backend)
