@@ -251,16 +251,23 @@ def export_metric_summary(
     (gpras/metrics.py:11-82). Inputs are (event, timestep)-MultiIndexed frames
     with one column per cell."""
     all_scalar, all_ts, all_cells = [], [], []
+    # Events have ragged (clipped) timestep counts, so compute_event_metrics
+    # recompiles per distinct length. The math is elementwise-cheap; pin it
+    # to the host CPU backend so those compiles are local and instant (on the
+    # tunneled-TPU platform each accelerator compile is a slow relay round
+    # trip) and the (T, C) test arrays never cross to the device.
+    cpu = jax.devices("cpu")[0]
     for event in x_all.index.unique(level=0):
-        x = jnp.asarray(x_all.loc[event].values)
-        y = jnp.asarray(y_all.loc[event].values)
-        conf = jnp.asarray(conf_all.loc[event].values)
+        with jax.default_device(cpu):
+            x = jnp.asarray(x_all.loc[event].values)
+            y = jnp.asarray(y_all.loc[event].values)
+            conf = jnp.asarray(conf_all.loc[event].values)
+            m = compute_event_metrics(
+                x, y, conf,
+                depth_threshold=depth_threshold, t_tol=t_tol, v_tol=v_tol,
+                contingency=(hydraulic_parameter != "velocity"),
+            )
         tsteps = x_all.loc[event].index.values
-        m = compute_event_metrics(
-            x, y, conf,
-            depth_threshold=depth_threshold, t_tol=t_tol, v_tol=v_tol,
-            contingency=(hydraulic_parameter != "velocity"),
-        )
         m = {k: np.asarray(v) for k, v in m.items()}
         all_scalar.append(pd.DataFrame({"event": [event],
                                         **{c: [float(m[c])] for c in SCALAR_COLUMNS}}))
