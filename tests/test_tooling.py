@@ -246,3 +246,66 @@ def test_new_plot_variants_smoke(tmp_path):
     P.plot_spatial_eof(tmp_path, rng.normal(size=8), 0,
                        np.arange(8), cells)
     assert (tmp_path / "eof_0.png").exists()
+
+
+def test_run_maker_no_matching_bc_raises(tmp_path):
+    """Regression: a flow DSS whose catalog matches no template BC must raise
+    instead of silently reusing the previous event's simulation window."""
+    import pytest
+    from gpras_tpu.data.dss import FakeDss, FakeRecord, set_dss_factory
+    from gpras_tpu.data.flow_file import FlowHydrographBC, UnsteadyFlowFile
+    from gpras_tpu.pipeline import run_maker as rm
+
+    set_dss_factory(FakeDss)
+    try:
+        tpl = UnsteadyFlowFile("template")
+        tpl.boundary_conditions.bcs.append(FlowHydrographBC(
+            interval="1HOUR", dss_file="x.dss", dss_path="//OLD/FLOW-BASE///",
+            sa_2d_id=" " * 16, mesh_name="m".ljust(16),
+            bc_line_id="bc_other_element".ljust(32)))
+        times = [datetime(2020, 1, 1) + timedelta(hours=h) for h in range(5)]
+        settings = rm.Settings(
+            ras_prj_path=str(tmp_path / "x.prj"), template_flow_path="t",
+            flow_dss_path_src=str(tmp_path / "src.dss"), precip_hdf_path="",
+            flow_title="e", plan_title="e", plan_short_id="e")
+        FakeDss.register(settings.flow_dss_path_absolute, {
+            "/T/unrelated/FLOW-BASE/D/1HOUR/R/":
+                FakeRecord(values=np.arange(5.0), times=times),
+        })
+        settings.start_time = datetime(1999, 1, 1)   # stale values that must
+        settings.end_time = datetime(1999, 1, 4)     # NOT survive
+        with pytest.raises(RuntimeError, match="No flow-hydrograph BC"):
+            rm.add_boundary_conditions_to_unsteady_flow(tpl, settings)
+        assert settings.start_time is None  # stale window cleared
+    finally:
+        set_dss_factory(None)
+
+
+def test_run_maker_wrong_c_part_raises(tmp_path):
+    """A B-part match with the wrong C part names the element in the error."""
+    import pytest
+    from gpras_tpu.data.dss import FakeDss, FakeRecord, set_dss_factory
+    from gpras_tpu.data.flow_file import FlowHydrographBC, UnsteadyFlowFile
+    from gpras_tpu.pipeline import run_maker as rm
+
+    set_dss_factory(FakeDss)
+    try:
+        tpl = UnsteadyFlowFile("template")
+        tpl.boundary_conditions.bcs.append(FlowHydrographBC(
+            interval="1HOUR", dss_file="x.dss", dss_path="//OLD/FLOW-BASE///",
+            sa_2d_id=" " * 16, mesh_name="m".ljust(16),
+            bc_line_id="bc_west-fork_s340_base".ljust(32)))
+        times = [datetime(2020, 1, 1) + timedelta(hours=h) for h in range(5)]
+        settings = rm.Settings(
+            ras_prj_path=str(tmp_path / "x.prj"), template_flow_path="t",
+            flow_dss_path_src=str(tmp_path / "src.dss"), precip_hdf_path="",
+            flow_title="e", plan_title="e", plan_short_id="e")
+        FakeDss.register(settings.flow_dss_path_absolute, {
+            # right element, wrong C part
+            "/T/west-fork_s340/FLOW/D/1HOUR/R/":
+                FakeRecord(values=np.arange(5.0), times=times),
+        })
+        with pytest.raises(RuntimeError, match="west-fork_s340"):
+            rm.add_boundary_conditions_to_unsteady_flow(tpl, settings)
+    finally:
+        set_dss_factory(None)
