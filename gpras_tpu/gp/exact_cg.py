@@ -384,20 +384,28 @@ def kmv_cross(kernel: str, params: dict[str, Array], x1: Array, x2: Array,
 
 def cg_posterior_alpha(kernel: str, params: dict[str, Array], x: Array,
                        y: Array, max_iters: int = 64,
-                       row_panel: int = 4096) -> Array:
-    """alpha = (K + noise I)^{-1} y via batched CG (matrix-free)."""
+                       row_panel: int = 4096,
+                       precond_rank: int = 32) -> Array:
+    """alpha = (K + noise I)^{-1} y via batched PCG (matrix-free); a rank-k
+    pivoted-Cholesky preconditioner keeps the solve accurate at small fitted
+    noise (precond_rank=0 disables it)."""
     noise = jnp.exp(params["log_noise_variance"]) + \
         linalg.default_jitter(x.dtype) * jnp.exp(params["log_variance"])
     mv = lambda v: kmv(kernel, params, x, v, noise, row_panel)
+    pinv = None
+    if precond_rank > 0:
+        l_pc = pivoted_cholesky(kernel, params, x, precond_rank)
+        pinv, _ = make_woodbury_pinv(l_pc, noise)
     y2 = y[:, None] if y.ndim == 1 else y
-    sol, _, _, _ = mbcg(mv, y2, max_iters=max_iters)
+    sol, _, _, _ = mbcg(mv, y2, max_iters=max_iters, pinv=pinv)
     return sol[:, 0] if y.ndim == 1 else sol
 
 
 def cg_predict(kernel: str, params: dict[str, Array], x: Array, y: Array,
                x_test: Array, alpha: Array | None = None,
                max_iters: int = 64, row_panel: int = 4096,
-               var_chunk: int = 256) -> tuple[Array, Array]:
+               var_chunk: int = 256, precond_rank: int = 32
+               ) -> tuple[Array, Array]:
     """Matrix-free posterior (mean, variance) of y* at x_test.
 
     mean = k(x*, X) alpha;  var_i = k(x*_i,x*_i) − k_i* K^{-1} k_i*^T + noise,
@@ -406,12 +414,17 @@ def cg_predict(kernel: str, params: dict[str, Array], x: Array, y: Array,
     posterior of the dense engine, evaluated without ever forming K.
     """
     if alpha is None:
-        alpha = cg_posterior_alpha(kernel, params, x, y, max_iters, row_panel)
+        alpha = cg_posterior_alpha(kernel, params, x, y, max_iters, row_panel,
+                                   precond_rank)
     mean = kmv_cross(kernel, params, x_test, x, alpha[:, None],
                      row_panel)[:, 0]
     noise = jnp.exp(params["log_noise_variance"]) + \
         linalg.default_jitter(x.dtype) * jnp.exp(params["log_variance"])
     mv = lambda v: kmv(kernel, params, x, v, noise, row_panel)
+    pinv = None
+    if precond_rank > 0:
+        l_pc = pivoted_cholesky(kernel, params, x, precond_rank)
+        pinv, _ = make_woodbury_pinv(l_pc, noise)
     s = x_test.shape[0]
     c = _fit_panel(s, var_chunk)
 
@@ -419,7 +432,7 @@ def cg_predict(kernel: str, params: dict[str, Array], x: Array, y: Array,
         c0 = j * c
         xq = jax.lax.dynamic_slice_in_dim(x_test, c0, c, axis=0)
         ks = K.gram(kernel, params, x, xq)  # (N, c) tile
-        sol, _, _, _ = mbcg(mv, ks, max_iters=max_iters)
+        sol, _, _, _ = mbcg(mv, ks, max_iters=max_iters, pinv=pinv)
         quad = jnp.sum(ks * sol, axis=0)
         return jax.lax.dynamic_update_slice_in_dim(var_out, quad, c0, axis=0)
 

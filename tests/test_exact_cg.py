@@ -146,3 +146,32 @@ def test_preconditioning_accelerates_convergence():
     pinv, _ = make_woodbury_pinv(l_pc, noise)
     assert err(20, pinv) < 1e-4, err(20, pinv)
     assert err(20, None) > 10 * err(20, pinv)
+
+
+def test_cg_predict_preconditioned_matches_dense_at_small_noise():
+    """Matrix-free posterior with the preconditioner stays accurate where the
+    plain-CG variance solves struggle (small fitted noise)."""
+    from gpras_tpu.gp.exact_cg import cg_predict
+    from gpras_tpu.ops import linalg
+
+    rng = np.random.default_rng(15)
+    x = jnp.asarray(rng.normal(size=(96, 2)))
+    y = jnp.asarray(np.sin(np.asarray(x)[:, 0]))
+    xq = jnp.asarray(rng.normal(size=(32, 2)))
+    params = {"log_variance": jnp.asarray(0.0),
+              "log_lengthscales": jnp.asarray([0.8, 0.8]),
+              "log_noise_variance": jnp.asarray(np.log(1e-3))}
+    noise = float(jnp.exp(params["log_noise_variance"])) + \
+        float(linalg.default_jitter(x.dtype)) * 1.0
+    kd = np.asarray(K.gram("RBF", params, x)) + noise * np.eye(96)
+    ks = np.asarray(K.gram("RBF", params, x, xq))
+    l = np.linalg.cholesky(kd)
+    alpha = np.linalg.solve(kd, np.asarray(y))
+    want_mean = ks.T @ alpha
+    v = np.linalg.solve(l, ks)
+    want_var = 1.0 - np.sum(v * v, axis=0) + float(jnp.exp(params["log_noise_variance"]))
+
+    mean, var = cg_predict("RBF", params, x, y, xq, max_iters=48,
+                           row_panel=32, var_chunk=32, precond_rank=24)
+    np.testing.assert_allclose(np.asarray(mean), want_mean, rtol=1e-4, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(var), want_var, rtol=1e-3, atol=1e-6)
