@@ -299,12 +299,17 @@ def de_fit(
     tol: float = 0.01,
     recombination: float = 0.7,
     seed: int = 0,
+    eval_map: Callable[[Callable], Callable] | None = None,
 ) -> tuple[Params, dict[str, Array]]:
     """Adam on Z first, then differential evolution (best/1/bin with dithered
     mutation, scipy-compatible defaults) over the three log10 hyperparameters with
     bounds [(-1,1), (-1,1), (-3,0)] (reference gpras/gpr.py:44-70). Each
     generation's population evaluates vmapped; lengthscales are assigned as a
     scalar broadcast exactly like the reference's ``assign``.
+
+    ``eval_map`` overrides how the population's energies are evaluated (a
+    function wrapping the per-member loss into a batched evaluator) — the
+    hook parallel/pfit.sharded_de uses to shard the evaluation over a mesh.
     """
     if "z" in params:
         params, _ = adam_fit(loss_fn, params, adam_iter, mask=mask_only(params, ("z",)))
@@ -325,7 +330,8 @@ def de_fit(
         out["log_noise_variance"] = (u[2] * LN10).astype(dtype)
         return out
 
-    energy = jax.vmap(lambda u: loss_fn(set_params(u)))
+    emap = eval_map if eval_map is not None else jax.vmap
+    energy = emap(lambda u: loss_fn(set_params(u)))
 
     key = jax.random.PRNGKey(seed)
     key, sub = jax.random.split(key)

@@ -181,11 +181,13 @@ class GPRAS:
         def fit_one(params_i: dict[str, Array], y_i: Array):
             return fitter(lambda p: loss(p, y_i), params_i, **opt_kwargs)
 
-        if self.model_type == "exact" and \
-                self.x.shape[0] > self.SUPER_THRESHOLD and p_modes > 1:
-            # vmap would hold one (N, N) factor PER MODE simultaneously
-            # (p x 9.7 GB at 49k) — run the modes sequentially instead; the
-            # body still compiles once.
+        if self.model_type == "exact" and self.x.shape[0] > self.SUPER_THRESHOLD:
+            # No vmap above SUPER_THRESHOLD, even for one mode: (a) vmap
+            # would hold one (N, N) factor PER MODE simultaneously, and
+            # (b) batching turns the factorization's dynamic-update-slice
+            # chain into scattered updates that XLA no longer aliases
+            # in place — observed as a 2x-factor OOM at N=49k with a single
+            # mode. lax.map scans modes one at a time, unbatched.
             fitted, info = jax.lax.map(
                 lambda args: fit_one(args[0], args[1]),
                 (batched0, jnp.moveaxis(self.y, 1, 0)))
@@ -247,16 +249,24 @@ class GPRAS:
 
             if getattr(self, "_hutch_loss", None) is None:
                 chol = "super" if n > self.SUPER_THRESHOLD else "xla"
+                # strip temporaries are O(N * strip) on top of the ~N^2 * 4B
+                # factor; at 49k the factor is 9.7 of 16 GB, so narrow the
+                # strips and panels. The boundaries deliberately differ at
+                # exactly 32768: w=1024 + strip=16384 is the measured best
+                # there (bench.py; 4.14 s vs 4.58 s for w=2048).
+                strip = 16384 if n <= 32768 else 4096
+                w = 2048 if n < 32768 else 1024
                 self._hutch_loss = make_hutchinson_training_loss(
-                    self.kernel_str, chol=chol)
+                    self.kernel_str, chol=chol, chol_strip=strip, chol_w=w)
             return self._hutch_loss(params, self.x, y_i, jax.random.PRNGKey(0))
         if engine == "lean":
             from gpras_tpu.gp.exact_lean import make_lean_training_loss
 
             if getattr(self, "_lean_loss", None) is None:
                 lean_engine = "super" if n > self.SUPER_THRESHOLD else None
+                strip = 16384 if n <= 32768 else 4096
                 self._lean_loss = make_lean_training_loss(
-                    self.kernel_str, engine=lean_engine)
+                    self.kernel_str, engine=lean_engine, chol_strip=strip)
             return self._lean_loss(params, self.x, y_i)
         return exact_gp.training_loss(self.kernel_str, params, self.x, y_i)
 

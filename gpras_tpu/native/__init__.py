@@ -61,6 +61,15 @@ def available() -> bool:
     return _load() is not None
 
 
+def _require() -> ctypes.CDLL:
+    lib = _load()
+    if lib is None:
+        raise RuntimeError(
+            "native geometry engine unavailable (no g++ / build failed); "
+            "check native.available() and use the pure-Python fallback")
+    return lib
+
+
 def _dp(a: np.ndarray):
     return a.ctypes.data_as(ctypes.POINTER(ctypes.c_double))
 
@@ -70,7 +79,7 @@ def _ip(a: np.ndarray):
 
 
 def pip_batch(ring: np.ndarray, pts: np.ndarray) -> np.ndarray:
-    lib = _load()
+    lib = _require()
     ring = np.ascontiguousarray(ring, dtype=np.float64)
     pts = np.ascontiguousarray(pts, dtype=np.float64)
     out = np.zeros(len(pts), dtype=np.uint8)
@@ -80,7 +89,7 @@ def pip_batch(ring: np.ndarray, pts: np.ndarray) -> np.ndarray:
 
 
 def clip_area_convex(subject: np.ndarray, clip: np.ndarray) -> float:
-    lib = _load()
+    lib = _require()
     subject = np.ascontiguousarray(subject, dtype=np.float64)
     clip = np.ascontiguousarray(clip, dtype=np.float64)
     return float(lib.clip_area_convex(_dp(subject), len(subject),
@@ -93,7 +102,7 @@ def best_overlap_batch(q_verts: np.ndarray, q_counts: np.ndarray,
     """Exact max-overlap pairing. Shapes: q_verts (nq, max_qv, 2),
     c_verts (nc, max_cv, 2) (padding repeats the first vertex), cand_idx
     (nq, max_cand) int32 -1-padded."""
-    lib = _load()
+    lib = _require()
     q_verts = np.ascontiguousarray(q_verts, dtype=np.float64)
     c_verts = np.ascontiguousarray(c_verts, dtype=np.float64)
     q_counts = np.ascontiguousarray(q_counts, dtype=np.int32)
@@ -111,7 +120,7 @@ def best_overlap_batch(q_verts: np.ndarray, q_counts: np.ndarray,
 
 
 def polyline_touches_poly(line: np.ndarray, ring: np.ndarray) -> bool:
-    lib = _load()
+    lib = _require()
     line = np.ascontiguousarray(line, dtype=np.float64)
     ring = np.ascontiguousarray(ring, dtype=np.float64)
     return bool(lib.polyline_touches_poly(_dp(line), len(line),

@@ -106,12 +106,26 @@ bool point_in_poly(const std::vector<Pt> &poly, double x, double y) {
   return inside;
 }
 
+static bool on_segment(const Pt &p, const Pt &q, const Pt &r) {
+  // r collinear with pq: does r lie within the segment's bounding box?
+  return std::min(p.x, q.x) <= r.x && r.x <= std::max(p.x, q.x) &&
+         std::min(p.y, q.y) <= r.y && r.y <= std::max(p.y, q.y);
+}
+
 bool segs_cross(const Pt &a, const Pt &b, const Pt &c, const Pt &d) {
   const double d1 = cross(c, d, a);
   const double d2 = cross(c, d, b);
   const double d3 = cross(a, b, c);
   const double d4 = cross(a, b, d);
-  return ((d1 > 0) != (d2 > 0)) && ((d3 > 0) != (d4 > 0));
+  if (((d1 > 0) != (d2 > 0)) && ((d3 > 0) != (d4 > 0))) return true;
+  // Degenerate/touching cases (exact zeros are common on axis-aligned
+  // HEC-RAS grids): a vertex lying exactly on the other segment counts as a
+  // crossing — inclusive is the safe direction for touch queries.
+  if (d1 == 0 && on_segment(c, d, a)) return true;
+  if (d2 == 0 && on_segment(c, d, b)) return true;
+  if (d3 == 0 && on_segment(a, b, c)) return true;
+  if (d4 == 0 && on_segment(a, b, d)) return true;
+  return false;
 }
 
 }  // namespace

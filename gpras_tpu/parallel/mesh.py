@@ -20,5 +20,8 @@ def make_mesh(shape: tuple[int, ...] | None = None,
     n = int(np.prod(shape))
     if n > len(devices):
         raise ValueError(f"Mesh shape {shape} needs {n} devices, have {len(devices)}")
+    if len(axis_names) != len(shape):
+        raise ValueError(f"Mesh shape {shape} needs {len(shape)} axis names, "
+                         f"got {axis_names}")
     dev_array = np.asarray(devices[:n]).reshape(shape)
-    return Mesh(dev_array, axis_names[: len(shape)])
+    return Mesh(dev_array, axis_names)

@@ -75,17 +75,21 @@ def sharded_de(
     axis: str = "i",
     **kwargs,
 ) -> tuple[dict[str, Array], dict[str, Array]]:
-    """Differential evolution with the population's energy evaluations sharded
-    over the mesh (the vmapped evaluation inside de_fit partitions across the
-    leading axis when jitted under the mesh's default sharding context)."""
-    with jax.sharding.use_mesh(mesh) if hasattr(jax.sharding, "use_mesh") else _null():
-        return fitters.de_fit(loss_fn, params, popsize=popsize,
-                              max_iter=max_iter, **kwargs)
+    """Differential evolution with each generation's energy evaluations
+    explicitly sharded over the mesh: the population rows are split across
+    devices with shard_map and each device vmaps its slice (a use_mesh
+    context alone would NOT shard de_fit's internally-created population).
+    ``popsize`` is rounded up so the population divides the mesh axis."""
+    d = mesh.shape[axis]
+    popsize = ((popsize + d - 1) // d) * d  # n_pop = 3*popsize divides d
 
+    def eval_map(f):
+        def batched(pop):
+            local = shard_map(lambda p_loc: jax.vmap(f)(p_loc), mesh=mesh,
+                              in_specs=P(axis), out_specs=P(axis))
+            return local(pop)
 
-class _null:
-    def __enter__(self):
-        return self
+        return batched
 
-    def __exit__(self, *a):
-        return False
+    return fitters.de_fit(loss_fn, params, popsize=popsize,
+                          max_iter=max_iter, eval_map=eval_map, **kwargs)

@@ -44,6 +44,21 @@ def ppca_fit(mesh: Mesh, x: Array, n_components: int, axis: str = "i"
         u = evecs[:, ::-1][:, :k]  # (S, k), identical on every device
         sigma = jnp.sqrt(jnp.maximum(evals, 1e-30))
         comps_local = (x_local.T @ (u / sigma[None, :])).T  # (k, C_local)
+        # same rank guard as eof/pca.py: zero the null-space rows instead of
+        # amplifying float noise
+        rank_ok = evals > 1e-12 * jnp.maximum(evals[0], 1e-30)
+        comps_local = jnp.where(rank_ok[:, None], comps_local, 0.0)
+        # svd_flip convention via the GLOBAL largest-|loading| entry so signs
+        # match the single-device path: psum per-device (max, signed value)
+        local_amax = jnp.argmax(jnp.abs(comps_local), axis=1)
+        local_max = jnp.take_along_axis(comps_local, local_amax[:, None],
+                                        axis=1)[:, 0]
+        # pick the device owning the global max |value| per component
+        gmax = jax.lax.pmax(jnp.abs(local_max), axis)
+        signed = jnp.where(jnp.abs(local_max) == gmax, local_max, 0.0)
+        signed = jax.lax.psum(signed, axis)
+        signs = jnp.where(signed == 0, 1.0, jnp.sign(signed))
+        comps_local = comps_local * signs[:, None]
         explained = jnp.maximum(evals, 0.0) / (s - 1)
         return comps_local, explained[None]
 

@@ -46,6 +46,21 @@ def sharded_predict(mesh: Mesh, model, x_query, axis: str = "i"):
             return jax.vmap(
                 lambda p, c: _sgpr_predict_from_cache(kernel, p, c, xq_local)
             )(params, cache)
+    elif model._matrix_free:
+        # alpha-only cache: each device runs the matrix-free posterior
+        # (streamed cross-Gram mean + chunked CG variance) on its slice
+        from gpras_tpu.gp.exact_cg import cg_predict
+
+        x_train, y_train = model.x, model.y
+        alphas = cache[0]
+
+        def local(xq_local):
+            m, v = jax.vmap(
+                lambda p, a, y_i: cg_predict(kernel, p, x_train, y_i,
+                                             xq_local, alpha=a),
+                in_axes=(0, 0, 1),
+            )(params, alphas, y_train)
+            return m, v
     else:
         x_train = model.x
 

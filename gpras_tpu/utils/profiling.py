@@ -67,7 +67,9 @@ def profiler_trace(log_dir: str | Path | None):
 def log_fit_losses(info: dict, name: str = "fit", every: int = 50) -> list[float]:
     """Expand an optimizer ``info`` dict (nan-padded losses array, possibly
     batched over modes) into logged per-step losses; returns the flat history."""
-    losses = np.asarray(info.get("losses"))
+    if info.get("losses") is None:
+        return []
+    losses = np.asarray(info["losses"])
     if losses.ndim > 1:  # (modes, steps) -> mean over modes per step
         losses = np.nanmean(losses, axis=0)
     valid = losses[np.isfinite(losses)]
