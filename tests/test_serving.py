@@ -56,3 +56,47 @@ def test_predict_field_composes_preprocessors(tmp_path):
     # identity-ish mapping: reconstruction should track the input closely
     rmse = np.sqrt(np.mean((out_field - field) ** 2))
     assert rmse < 1.0, rmse
+
+
+def test_predictor_with_hms_lf_preprocessor(tmp_path):
+    """The LF preprocessor artifact's class tag selects HmsPreProcessor, and
+    omitting the LF path makes predict_field refuse (no silent HF fallback)."""
+    import pytest
+    from gpras_tpu.eof.preprocessor import HmsPreProcessor, PreProcessor
+    from gpras_tpu.gp.model import GPRAS
+    from gpras_tpu.gp.serving import PosteriorPredictor
+
+    rng = np.random.default_rng(3)
+    s, c = 48, 30
+    field = np.outer(np.sin(np.linspace(0, 2, s)), rng.normal(size=c)) * 2 + 5
+    elev = np.full(c, -10.0)
+    hf_pre = PreProcessor(hydraulic_parameter="wse")
+    hf_pre.fit(field, elev, spatial_mode_count=2)
+    y = hf_pre.transform(field)
+
+    forcing = np.abs(rng.normal(size=(s, 6)))
+    bc_mask = np.array([True] * 2 + [False] * 4)
+    lf_pre = HmsPreProcessor()
+    lf_pre.fit(forcing, bc_mask=bc_mask, precip_mask=~bc_mask)
+    x = lf_pre.transform(forcing)
+
+    model = GPRAS("RBF", dtype=jnp.float64)
+    model.fit(x, y, n_inducing=8, optimization_method="adam", max_iter=20)
+    model.to_file(tmp_path / "gpr.npz")
+    hf_pre.to_file(tmp_path / "hf.npz")
+    lf_pre.to_file(tmp_path / "lf.npz")
+
+    pred = PosteriorPredictor(tmp_path / "gpr.npz",
+                              hf_preprocessor_path=tmp_path / "hf.npz",
+                              lf_preprocessor_path=tmp_path / "lf.npz",
+                              buckets=(64,))
+    assert isinstance(pred.lf_pre, HmsPreProcessor)
+    out_field, out_var = pred.predict_field(forcing)
+    assert out_field.shape == (s, c)
+    assert np.all(np.isfinite(out_field))
+
+    bare = PosteriorPredictor(tmp_path / "gpr.npz",
+                              hf_preprocessor_path=tmp_path / "hf.npz",
+                              buckets=(64,))
+    with pytest.raises(RuntimeError, match="preprocessor"):
+        bare.predict_field(forcing)
