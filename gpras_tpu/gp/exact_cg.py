@@ -404,8 +404,8 @@ def cg_posterior_alpha(kernel: str, params: dict[str, Array], x: Array,
 def cg_predict(kernel: str, params: dict[str, Array], x: Array, y: Array,
                x_test: Array, alpha: Array | None = None,
                max_iters: int = 64, row_panel: int = 4096,
-               var_chunk: int = 256, precond_rank: int = 32
-               ) -> tuple[Array, Array]:
+               var_chunk: int = 256, precond_rank: int = 32,
+               l_pc: Array | None = None) -> tuple[Array, Array]:
     """Matrix-free posterior (mean, variance) of y* at x_test.
 
     mean = k(x*, X) alpha;  var_i = k(x*_i,x*_i) − k_i* K^{-1} k_i*^T + noise,
@@ -422,8 +422,11 @@ def cg_predict(kernel: str, params: dict[str, Array], x: Array, y: Array,
         linalg.default_jitter(x.dtype) * jnp.exp(params["log_variance"])
     mv = lambda v: kmv(kernel, params, x, v, noise, row_panel)
     pinv = None
-    if precond_rank > 0:
+    if l_pc is None and precond_rank > 0:
+        # (serving callers precompute l_pc once per model — it depends only
+        # on params/x — instead of paying O(N k^2) per predict call)
         l_pc = pivoted_cholesky(kernel, params, x, precond_rank)
+    if l_pc is not None:
         pinv, _ = make_woodbury_pinv(l_pc, noise)
     s = x_test.shape[0]
     c = _fit_panel(s, var_chunk)

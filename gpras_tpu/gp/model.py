@@ -108,6 +108,9 @@ class GPRAS:
         "cg". Ignored for the sparse backend."""
         if kernel not in K.KERNEL_NAMES:
             raise ValueError(f"Unknown kernel {kernel!r}")
+        if model_type not in ("sgpr", "exact"):
+            raise ValueError(f"Unknown model_type {model_type!r}; "
+                             "expected 'sgpr' or 'exact'")
         if exact_engine not in ("auto", "dense", "lean", "hutchinson", "cg"):
             raise ValueError(f"Unknown exact_engine {exact_engine!r}")
         self.kernel_str: str = kernel
@@ -147,6 +150,15 @@ class GPRAS:
         if self.model_type == "sgpr" and n_inducing <= 0:
             raise ValueError("sparse backend requires n_inducing > 0 "
                              "(use model_type='exact' for a dense GP)")
+        if optimization_method not in fitters.FITTERS:
+            raise ValueError(
+                f"Unknown optimizer {optimization_method!r}; expected one of "
+                f"{sorted(fitters.FITTERS)}")
+        # invalidate BEFORE mutating: a fit that raises mid-way must not
+        # leave stale posterior factors paired with the new training data
+        self._cache = None
+        self.params = None
+        self.fit_info = None
         self.x = jnp.asarray(x, dtype=self.dtype)
         self.y = jnp.asarray(y, dtype=self.dtype)
         if self.y.ndim == 1:
@@ -196,7 +208,9 @@ class GPRAS:
         self.params = fitted
         self.fit_info = info
         self._cache = None
-        if "losses" in info:
+        if "losses" in info and "evolution" not in optimization_method:
+            # DE's info["losses"] is the final population's energies, not a
+            # per-step history — logging it as one would mislead
             from gpras_tpu.utils.profiling import log_fit_losses
 
             log_fit_losses(info, name=f"GPRAS[{self.kernel_str}/{self.model_type}]")
@@ -298,14 +312,21 @@ class GPRAS:
                 in_axes=(0, 1),
             )(self.params, self.y)
         elif self._matrix_free:
-            # No (N, N) buffer fits: cache only alpha (batched CG solve);
-            # predict streams cross-Gram tiles + chunked variance solves.
-            from gpras_tpu.gp.exact_cg import cg_posterior_alpha
+            # No (N, N) buffer fits: cache alpha (batched CG solve) plus the
+            # per-mode rank-64 pivoted-Cholesky preconditioner (it depends
+            # only on params/x — rebuilding it per predict call would cost
+            # O(N k^2) per mode every time), matching the training rank.
+            from gpras_tpu.gp.exact_cg import cg_posterior_alpha, pivoted_cholesky
 
-            self._cache = (jax.vmap(
-                lambda p, y_i: cg_posterior_alpha(self.kernel_str, p, self.x, y_i),
+            alphas = jax.vmap(
+                lambda p, y_i: cg_posterior_alpha(self.kernel_str, p, self.x, y_i,
+                                                  precond_rank=64),
                 in_axes=(0, 1),
-            )(self.params, self.y),)
+            )(self.params, self.y)
+            l_pcs = jax.vmap(
+                lambda p: pivoted_cholesky(self.kernel_str, p, self.x, 64)
+            )(self.params)
+            self._cache = (alphas, l_pcs)
         else:
             self._cache = jax.vmap(
                 lambda p, y_i: _exact_posterior_cache(self.kernel_str, p, self.x, y_i),
@@ -329,10 +350,10 @@ class GPRAS:
             from gpras_tpu.gp.exact_cg import cg_predict
 
             mean, var = jax.vmap(
-                lambda p, a, y_i: cg_predict(self.kernel_str, p, self.x, y_i,
-                                             xq, alpha=a),
-                in_axes=(0, 0, 1),
-            )(self.params, self._cache[0], self.y)
+                lambda p, a, l_pc, y_i: cg_predict(self.kernel_str, p, self.x,
+                                                   y_i, xq, alpha=a, l_pc=l_pc),
+                in_axes=(0, 0, 0, 1),
+            )(self.params, self._cache[0], self._cache[1], self.y)
         else:
             mean, var = jax.vmap(
                 lambda p, cache: _exact_predict_from_cache(self.kernel_str, p, cache, self.x, xq)

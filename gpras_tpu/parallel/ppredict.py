@@ -52,14 +52,14 @@ def sharded_predict(mesh: Mesh, model, x_query, axis: str = "i"):
         from gpras_tpu.gp.exact_cg import cg_predict
 
         x_train, y_train = model.x, model.y
-        alphas = cache[0]
+        alphas, l_pcs = cache
 
         def local(xq_local):
             m, v = jax.vmap(
-                lambda p, a, y_i: cg_predict(kernel, p, x_train, y_i,
-                                             xq_local, alpha=a),
-                in_axes=(0, 0, 1),
-            )(params, alphas, y_train)
+                lambda p, a, l_pc, y_i: cg_predict(kernel, p, x_train, y_i,
+                                                   xq_local, alpha=a, l_pc=l_pc),
+                in_axes=(0, 0, 0, 1),
+            )(params, alphas, l_pcs, y_train)
             return m, v
     else:
         x_train = model.x

@@ -60,6 +60,15 @@ def get_hf_pre_processor(config: Config, data: pd.DataFrame, extracter) -> PrePr
         reducer.to_file(config.hf_preprocessor_path)
     else:
         reducer = PreProcessor.from_file(config.hf_preprocessor_path)
+        # artifact caching keys on file existence only (reference behavior);
+        # a stale artifact fit under a different hydraulic parameter would
+        # silently wrong-convert every prediction downstream
+        if reducer.hydraulic_parameter != config.hydraulic_parameter:
+            raise RuntimeError(
+                f"cached preprocessor {config.hf_preprocessor_path} was fit "
+                f"with hydraulic_parameter={reducer.hydraulic_parameter!r} "
+                f"but the config says {config.hydraulic_parameter!r}; delete "
+                "the artifact (or use a fresh working_directory) to refit")
     return reducer
 
 
@@ -90,8 +99,13 @@ def get_pre_processors(config: Config, hf_data: pd.DataFrame, lf_data: pd.DataFr
 
 def pipeline(config: Config) -> dict[str, Any]:
     """Run the full workflow; returns a summary dict (paths + headline metrics)."""
+    import jax
     import jax.numpy as jnp
 
+    if config.dtype == "float64" and not jax.config.jax_enable_x64:
+        # without this, jnp.asarray(..., float64) silently downcasts to f32
+        # (only the test conftest enables x64 otherwise)
+        jax.config.update("jax_enable_x64", True)
     dtype = jnp.float64 if config.dtype == "float64" else jnp.float32
 
     # ---------------------------------------------------------------- load data
