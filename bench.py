@@ -1,14 +1,16 @@
-"""Headline benchmark: exact-GP fit wall-clock (Gram + blocked Cholesky +
-custom-VJP NLML + jitted Adam), per BASELINE.json's metric
+"""Headline benchmark: exact-GP fit wall-clock, per BASELINE.json's metric
 "N=50k exact-GP fit wall-clock (Chol+NLML opt)".
 
-Protocol: largest N from the ladder that fits on the chip; 10 jitted Adam steps
-on the exact-GP training loss (each step = one Gram build + one Cholesky forward
-+ factor-reusing backward), timed after one warmup/compile step. Also reports
-batched SGPR posterior throughput (storm-event predictions/sec) as a secondary
-field. Baseline: the reference publishes no numbers (BASELINE.md); the
-driver-set target is fit < 10 s on one TPU slice, so vs_baseline = 10 / seconds
-(>1 means faster than target).
+Protocol: largest N from the ladder that runs on the chip; 10 jitted Adam
+steps on the exact-GP training loss, timed after one warmup/compile step with
+device-synced (scalar-fetch) barriers. Default engine: fused Pallas Gram +
+in-place super-panel Cholesky forward + Hutchinson (BBMM-style) stochastic
+trace backward (GPRAS_BENCH_MODE selects lean = O(N^3) exact backward, or
+cg = fully matrix-free batched CG + SLQ). Also reported: batched SGPR
+posterior serving throughput (storm-event predictions/sec) and an in-run
+matrix-free fit at N=131072. Baseline: the reference publishes no numbers
+(BASELINE.md); the driver-set target is fit < 10 s on one TPU slice, so
+vs_baseline = 10 / seconds (>1 means faster than target).
 
 Prints exactly one JSON line.
 """
