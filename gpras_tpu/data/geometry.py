@@ -57,7 +57,8 @@ class Polygon:
             ring = geom["coordinates"][0][0]
         else:
             raise ValueError(f"Unsupported geometry type {geom['type']}")
-        return cls(np.asarray(ring))
+        # GeoJSON positions may carry a z coordinate; keep (x, y) only
+        return cls(np.asarray(ring, dtype=float)[:, :2])
 
     def to_geojson(self) -> dict:
         return {"type": "Polygon", "coordinates": [self.ring.tolist()]}
@@ -172,7 +173,8 @@ class LineString:
     reference gpras/preprocess.py:676-693)."""
 
     def __init__(self, coords: np.ndarray):
-        self.coords = np.asarray(coords, dtype=np.float64)
+        # GeoJSON positions may carry a z coordinate; keep (x, y) only
+        self.coords = np.asarray(coords, dtype=np.float64)[:, :2]
         seg = np.diff(self.coords, axis=0)
         self._seg_len = np.hypot(seg[:, 0], seg[:, 1])
         self.stations = np.concatenate([[0.0], np.cumsum(self._seg_len)])

@@ -79,7 +79,20 @@ class PlanHdf:
 
     def timestamps(self) -> pd.DatetimeIndex:
         stamps = self.get(TIME_STAMP_PATH)[:].astype(str)
-        return pd.to_datetime(stamps, format="%d%b%Y %H:%M:%S")
+        # HEC-RAS writes end-of-day stamps as '24:00:00' (rolls to the next
+        # day); pandas' strict parser rejects them
+        fixed, bump = [], []
+        for t in stamps:
+            if " 24:" in t:
+                fixed.append(t.replace(" 24:", " 00:"))
+                bump.append(True)
+            else:
+                fixed.append(t)
+                bump.append(False)
+        out = pd.to_datetime(fixed, format="%d%b%Y %H:%M:%S")
+        if any(bump):
+            out = out + pd.to_timedelta(np.where(bump, 1, 0), unit="D")
+        return pd.DatetimeIndex(out)
 
 
 class RasModel:
@@ -115,7 +128,10 @@ class RasModel:
             p = Path(href)
             if not p.is_absolute():
                 p = (stac_path.parent / p).resolve()
-            assets[Path(name).name] = str(p)
+            # key by the href FILENAME — suffix-based discovery
+            # (plan_hdfs/geometry_hdfs/plan_files) filters on it; arbitrary
+            # STAC asset keys like 'plan-01' would silently match nothing
+            assets[p.name] = str(p)
             if str(p).endswith(".prj"):
                 prj = p
         if prj is None:
@@ -168,7 +184,7 @@ class RasModel:
                 gh = PlanHdf(path)
                 try:
                     title = gh.attrs("Geometry").get("Title", Path(path).stem)
-                except KeyError:
+                except Exception:  # unreadable/corrupt file: plan HDF fallback
                     title = Path(path).stem
                 out[title] = gh
         return out
@@ -186,11 +202,16 @@ class RasModel:
         return ds[(~np.isnan(ds)) & (~np.isclose(ds, 0, atol=1e-3))]
 
     def get_plan_wsels(self, plans: list[str], mesh_id: str) -> pd.DataFrame:
-        """(run, t)-indexed WSE frame (reference gpras/ras/model.py:132-144)."""
+        """(run, t)-indexed WSE frame (reference gpras/ras/model.py:132-144).
+
+        Output columns are trimmed to the REAL cell count (ghost cells index
+        after real cells and carry NaN minimum elevations) — the reference
+        gets this for free from rashdf's mesh_timeseries_output."""
+        n_real = len(self.get_cell_minimum_elevation(plans[0], mesh_id))
         store = []
         for p in plans:
             wse = self.plan_hdfs[p].mesh_timeseries_output(mesh_id, "Water Surface")
-            df = pd.DataFrame(wse)
+            df = pd.DataFrame(wse[:, :n_real])
             df["run"] = p
             df["t"] = df.index.to_list()
             store.append(df)
@@ -274,7 +295,7 @@ class RasModel:
         src_path = self.assets[template_run]
         new_run = self.increment_suffix(self.plan_files, "p")
         dst_path = new_run + ".hdf"
-        src_txt = src_path.replace(".hdf", "")
+        src_txt = src_path[: -len(".hdf")] if src_path.endswith(".hdf") else src_path
         shutil.copy(src_path, dst_path)
         shutil.copy(src_txt, new_run)
         update_hdf_attributes(dst_path, PLAN_INFO_PATH, plan_attrs["hdf"])
@@ -308,9 +329,9 @@ def update_text_attributes(txt_path: str, attrs: dict[str, str]) -> None:
     with open(txt_path, encoding=encoding) as f:
         lines = f.readlines()
     for ind, line in enumerate(lines):
-        parts = line.rstrip("\n").split("=")
-        key = "=".join(parts[:-1])
-        if key in attrs:
+        # key = text before the FIRST '=' (values may contain '=')
+        key = line.rstrip("\n").split("=", 1)[0]
+        if "=" in line and key in attrs:
             lines[ind] = f"{key}={attrs[key]}\n"
     with open(txt_path, "w", encoding=encoding, newline=newline) as f:
         f.writelines(lines)

@@ -176,10 +176,13 @@ def ts_clipping(dx_dt: np.ndarray, cutoffs: tuple[int, int],
 def _cell_scatter(ax, cell_table: pd.DataFrame, values: np.ndarray,
                   cmap: str = "RdBu_r", vmax: float | None = None):
     if vmax is None:
-        vmax = float(np.nanmax(np.abs(values))) or 1.0
+        vmax = float(np.nanmax(np.abs(values))) if np.any(np.isfinite(values)) else 1.0
+        if not np.isfinite(vmax) or vmax == 0:
+            vmax = 1.0
+    # symmetric scale (white at 0) only when the field is actually signed
+    signed = bool(np.any(np.asarray(values) < 0))
     sc = ax.scatter(cell_table["x"], cell_table["y"], c=values, s=18, marker="s",
-                    cmap=cmap, vmin=-vmax if cmap.endswith("_r") else None,
-                    vmax=vmax)
+                    cmap=cmap, vmin=-vmax if signed else None, vmax=vmax)
     ax.set_aspect("equal")
     return sc
 
@@ -319,6 +322,7 @@ def map_detection_categories(cell_table: pd.DataFrame, hf_depth: np.ndarray,
     out = Path(output_plot_path)
     colors = {"Detected": "#2166ac", "Miss": "#b2182b",
               "FalseAlarm": "#f4a582", "CorrectNeg": "#cccccc"}
+    table = cell_table.set_index(cell_id_field).loc[list(columns)]  # loop-invariant
     for event in events:
         sel = idx.get_level_values(0) == event
         hf_peak = hf_depth[sel].max(axis=0)
@@ -329,7 +333,6 @@ def map_detection_categories(cell_table: pd.DataFrame, hf_depth: np.ndarray,
                        np.where(hf_wet & ~pr_wet, "Miss",
                                 np.where(~hf_wet & pr_wet, "FalseAlarm",
                                          "CorrectNeg")))
-        table = cell_table.set_index(cell_id_field).loc[list(columns)]
         fig, ax = plt.subplots(figsize=(6, 5))
         for name, color in colors.items():
             if name == "CorrectNeg" and not include_correct_negative:

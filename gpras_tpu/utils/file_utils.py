@@ -57,14 +57,16 @@ def hdf_grid_to_dss(
     (reference file_utils.py:39-60). Requires the optional ``hecdss`` package."""
     import numpy as np
 
-    from gpras_tpu.data.dss import require_hecdss
+    # open_dss (not require_hecdss()): the gateway adapter provides the
+    # 2-arg put(record, path) this function uses — raw hecdss.HecDss.put
+    # takes only the container
+    from gpras_tpu.data.dss import open_dss
 
-    HecDss = require_hecdss()
     import h5py
     import shutil
 
     shutil.copy(template_dss, out_dss)
-    dss = HecDss(str(out_dss))
+    dss = open_dss(str(out_dss))
     template_path = next(iter(dss.get_catalog()))
     template = dss.get(str(template_path))
     with h5py.File(hdf_path, "r") as f:
