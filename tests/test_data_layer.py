@@ -255,3 +255,38 @@ def test_flow_file_met_attrs_and_ic_names_roundtrip(tmp_path):
     assert g.boundary_conditions.bcs[0].flow_hydrograph_slope == "0.0003"
     # emission is a fixpoint
     assert g.emit() == text
+
+
+def test_ghost_cells_trimmed_from_wsels_and_depths(tmp_path):
+    """Real HEC-RAS meshes append ghost cells (NaN minimum elevation) after
+    the real cells; WSE frames must trim them so depths align with the
+    NaN-filtered elevations (the reference gets this from rashdf)."""
+    import h5py
+    from gpras_tpu.data.ras_model import RasModel
+
+    root = tmp_path / "gm"
+    root.mkdir()
+    (root / "gm.prj").write_text("Proj Title=gm\n")
+    n_real, n_ghost, t = 6, 3, 4
+    with h5py.File(root / "gm.p01.hdf", "w") as f:
+        f.attrs["Plan Name"] = b"e1"
+        pi = f.create_group("Plan Data/Plan Information")
+        pi.attrs["Plan Name"] = b"e1"
+        pi.attrs["Geometry Title"] = b"g1"
+        mesh = "Geometry/2D Flow Areas/mesh1"
+        elev = np.concatenate([np.linspace(1, 2, n_real), [np.nan] * n_ghost])
+        f.create_dataset(f"{mesh}/Cells Minimum Elevation", data=elev)
+        wse = np.tile(np.linspace(3, 4, n_real + n_ghost), (t, 1))
+        f.create_dataset(
+            "Results/Unsteady/Output/Output Blocks/Base Output/"
+            "Unsteady Time Series/2D Flow Areas/mesh1/Water Surface", data=wse)
+        stamps = [f"01JAN2020 0{h}:00:00".encode() for h in range(t)]
+        f.create_dataset(
+            "Results/Unsteady/Output/Output Blocks/Base Output/"
+            "Unsteady Time Series/Time Date Stamp", data=np.array(stamps))
+    m = RasModel(root / "gm.prj")
+    wsels = m.get_plan_wsels(["e1"], "mesh1")
+    assert wsels.shape == (t, n_real)
+    depths = m.get_plan_depths(["e1"], "mesh1")
+    assert depths.shape == (t, n_real)
+    assert np.all(np.isfinite(depths.values))
