@@ -43,6 +43,23 @@ from gpras_tpu.data.rating_curve import RatingCurve
 HydraulicParameterType = str  # "wse" | "depth" | "velocity"
 
 
+def _convex_ring_mask(verts: np.ndarray, counts: np.ndarray) -> np.ndarray:
+    """True per ring iff the polygon is convex (all turn cross-products share a
+    sign; collinear vertices tolerated). verts (n, maxv, 2) padded, counts (n,)."""
+    out = np.empty(len(counts), dtype=bool)
+    for i, c in enumerate(np.asarray(counts, dtype=int)):
+        if c < 4:
+            out[i] = True
+            continue
+        p = verts[i, :c]
+        q = np.concatenate([p, p[:2]], axis=0)
+        e = np.diff(q, axis=0)  # c+1 edges incl. wrap
+        cross = e[:-1, 0] * e[1:, 1] - e[:-1, 1] * e[1:, 0]
+        tol = 1e-9 * max(float(np.max(np.abs(cross))), 1.0)
+        out[i] = bool(np.all(cross >= -tol) or np.all(cross <= tol))
+    return out
+
+
 class DataBuilder:
     """Base extractor: HF data, temporal clipping, AOI masking
     (reference gpras/preprocess.py:44)."""
@@ -361,9 +378,13 @@ class RasUpskillDataBuilder(DataBuilder):
         best, area = native.best_overlap_batch(hf_verts, hf_counts,
                                                lf_verts, lf_counts, cand)
         lf_ids = self._lf_mesh.cell_ids[lf_idx]
+        # Sutherland-Hodgman clipping is exact only for convex clip polygons;
+        # concave HF cells (breaklines / refinement boundaries) would get wrong
+        # intersection areas, so route them to the nearest-centroid rule.
+        convex = _convex_ring_mask(hf_verts, hf_counts)
         # cells with zero overlap (shouldn't happen inside the AOI): nearest
         fallback = self._lf_submesh_containing(self.hf_centroids_aoi)
-        chosen = np.where(best >= 0, best, fallback)
+        chosen = np.where(convex & (best >= 0), best, fallback)
         return lf_ids[chosen]
 
     @cached_property

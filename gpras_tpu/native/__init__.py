@@ -41,7 +41,20 @@ def _load() -> ctypes.CDLL | None:
     _TRIED = True
     if not _SO.exists() and not _build():
         return None
-    lib = ctypes.CDLL(str(_SO))
+    try:
+        lib = ctypes.CDLL(str(_SO))
+    except OSError as e:
+        # A stale or foreign-platform .so (e.g. built on another arch/glibc).
+        # Rebuild once for this platform and retry; degrade to the pure-Python
+        # fallback if that also fails.
+        log.warning("native geometry load failed (%s); rebuilding", e)
+        if not _build():
+            return None
+        try:
+            lib = ctypes.CDLL(str(_SO))
+        except OSError as e2:
+            log.warning("native geometry load failed after rebuild: %s", e2)
+            return None
     dptr = ctypes.POINTER(ctypes.c_double)
     iptr = ctypes.POINTER(ctypes.c_int)
     u8ptr = ctypes.POINTER(ctypes.c_uint8)

@@ -64,6 +64,50 @@ def test_polyline_touches_poly():
     assert native.polyline_touches_poly(inside_pt, ring)
 
 
+def test_convex_ring_mask():
+    from gpras_tpu.data.builders import _convex_ring_mask
+
+    square = [[0, 0], [2, 0], [2, 2], [0, 2], [0, 0]]  # pad slot reused
+    # L-shaped (concave) hexagon
+    ell = [[0, 0], [2, 0], [2, 1], [1, 1], [1, 2], [0, 2]]
+    # square with a collinear midpoint on one edge — still convex
+    collinear = [[0, 0], [1, 0], [2, 0], [2, 2], [0, 2], [0, 0]]
+    verts = np.zeros((3, 6, 2))
+    verts[0, :5] = square
+    verts[1, :6] = ell
+    verts[2, :6] = collinear
+    counts = np.array([4, 6, 5], dtype=np.int32)
+    got = _convex_ring_mask(verts, counts)
+    np.testing.assert_array_equal(got, [True, False, True])
+
+
+def test_concave_hf_cells_fall_back_to_centroid_rule(monkeypatch, tmp_path):
+    """A concave HF query ring must not be paired by the clipper (which is only
+    exact for convex clips) — it takes the nearest-centroid rule instead."""
+    import fixtures as fx
+    from gpras_tpu.data import builders as B
+    from gpras_tpu.data.geometry import Polygon
+    from gpras_tpu.data.ras_model import RasModel
+
+    plans = ["e1"]
+    hf = fx.make_project(tmp_path / "hf", "hfm", nx=6, ny=6, cell=1.0, plans=plans)
+    lf = fx.make_project(tmp_path / "lf", "lfm", nx=3, ny=3, cell=2.0, plans=plans)
+    aoi = tmp_path / "aoi.geojson"
+    fx.write_aoi(aoi, 0.2, 0.2, 5.8, 5.8)
+    # force every ring to be treated as concave: the exact path must then agree
+    # with the pure nearest-centroid fallback everywhere
+    monkeypatch.setattr(B, "_convex_ring_mask",
+                        lambda v, c: np.zeros(len(c), dtype=bool))
+    b = B.RasUpskillDataBuilder(
+        hf_ras=RasModel.from_stac(hf["stac"]),
+        lf_ras=RasModel.from_stac(lf["stac"]), mesh_id=fx.MESH_ID,
+        plans=plans, area_of_interest=Polygon.from_geojson_file(aoi))
+    lf_idx = b._lf_mesh_aoi_indices
+    lf_ids = b._lf_mesh.cell_ids[lf_idx]
+    want = lf_ids[b._lf_submesh_containing(b.hf_centroids_aoi)]
+    np.testing.assert_array_equal(np.asarray(b.lf_resampler), want)
+
+
 def test_builder_exact_overlap_matches_centroid_on_aligned_grids(tmp_path):
     """On 2x aligned coarsening the exact pairing must equal the centroid rule."""
     import fixtures as fx
