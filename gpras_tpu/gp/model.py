@@ -73,7 +73,8 @@ def _sgpr_predict_from_cache(kernel: str, params: dict[str, Array],
 @partial(jax.jit, static_argnums=(0,))
 def _exact_posterior_cache(kernel: str, params: dict[str, Array], x: Array, y: Array):
     kmat = exact_gp.build_train_gram(kernel, params, x)
-    l = jnp.linalg.cholesky(kmat)
+    # noise variance is already on the diagonal; escalate jitter only on NaN
+    l = linalg.safe_cholesky(kmat, jitter=0.0)
     alpha = linalg.cho_solve(l, y[:, None])[:, 0]
     return l, alpha
 

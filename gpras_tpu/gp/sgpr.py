@@ -56,10 +56,13 @@ def _common(kernel: str, params: dict[str, Array], x: Array):
     sigma = jnp.sqrt(sigma2)
     kuu = kuu_gram(kernel, params, z)
     kuf = K.gram(kernel, params, z, x)  # (M, N)
-    l = jnp.linalg.cholesky(kuu)
+    # safe_cholesky: Kuu already carries its jitter (kuu_gram), so the first
+    # attempt is the plain factorization; near-duplicate inducing points in f32
+    # escalate instead of NaN-ing the whole fit (GPflow raises here).
+    l = linalg.safe_cholesky(kuu, jitter=0.0)
     a = linalg.solve_triangular(l, kuf, lower=True) / sigma  # (M, N)
     b = a @ a.T + jnp.eye(z.shape[0], dtype=x.dtype)
-    lb = jnp.linalg.cholesky(b)
+    lb = linalg.safe_cholesky(b, jitter=0.0)
     return sigma, sigma2, l, a, lb
 
 

@@ -26,6 +26,8 @@ from functools import partial
 import jax
 import jax.numpy as jnp
 
+from gpras_tpu.ops import linalg
+
 Array = jax.Array
 
 
@@ -45,9 +47,12 @@ def blocked_cholesky(k: Array, b: int = 512) -> Array:
     def step(kb, kmat):
         g0 = kb * b
         a_kk = jax.lax.dynamic_slice(kmat, (_i32(g0), _i32(g0)), (b, b))
-        # symmetrize_input=False: callers (super_cholesky) may hold stale
-        # values in the upper triangle; only the lower triangle is valid.
-        l_kk = jax.lax.linalg.cholesky(a_kk, symmetrize_input=False)
+        # symmetrize=False: callers (super_cholesky) may hold stale values in
+        # the upper triangle; only the lower triangle is valid. safe_cholesky
+        # escalates jitter on this block instead of NaN-poisoning every
+        # trailing panel when f32 round-off turns the Schur complement
+        # indefinite.
+        l_kk = linalg.safe_cholesky(a_kk, jitter=0.0, symmetrize=False)
         col = jax.lax.dynamic_slice(kmat, (_i32(0), _i32(g0)), (n, b))
         l_col = jax.scipy.linalg.solve_triangular(l_kk, col.T, lower=True).T
         below = (gidx >= g0 + b)[:, None]
@@ -125,7 +130,7 @@ def super_cholesky(k: Array, w: int = 4096, strip: int = 8192,
         # triangle (upper holds stale values), and lax's default symmetrize
         # would average the garbage in.
         l11 = blocked_cholesky(diag, inner_b) if w > inner_b \
-            else jax.lax.linalg.cholesky(diag, symmetrize_input=False)
+            else linalg.safe_cholesky(diag, jitter=0.0, symmetrize=False)
         k = jax.lax.dynamic_update_slice(k, l11, (_i32(g0), _i32(g0)))
         t = n - g0 - w
         if t == 0:

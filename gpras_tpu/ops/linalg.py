@@ -8,6 +8,8 @@ right-looking Cholesky for very large N lives in ``gpras_tpu.ops.block_cholesky`
 
 from __future__ import annotations
 
+from functools import partial
+
 import jax
 import jax.numpy as jnp
 
@@ -37,20 +39,47 @@ def cholesky(k: Array, jitter: float | None = None) -> Array:
     return jnp.linalg.cholesky(add_jitter(k, jitter))
 
 
-def safe_cholesky(k: Array, max_tries: int = 5, jitter: float | None = None) -> Array:
-    """Cholesky with adaptive jitter escalation (x10 per retry), fully jittable.
+def safe_cholesky(
+    k: Array,
+    max_tries: int = 5,
+    jitter: float | None = None,
+    *,
+    symmetrize: bool = True,
+) -> Array:
+    """Cholesky with adaptive jitter escalation (x10 per retry), fully jittable
+    AND reverse-differentiable.
 
-    Uses ``lax.while_loop`` so the escalation compiles to a single program: retry
-    while the factor contains NaNs (XLA returns NaN rather than raising on an
-    indefinite matrix) and tries remain.
+    A ``lax.while_loop`` retries while the factor contains NaNs (XLA returns
+    NaN rather than raising on an indefinite matrix) and tries remain, so the
+    escalation compiles to one program whose happy path costs a single
+    factorization plus one NaN scan. Because ``while_loop`` has no reverse
+    rule, the op carries a ``custom_vjp``: the backward refactorizes once at
+    the escalated jitter (treated as a constant) and applies the standard
+    Cholesky VJP — differentiated call sites are the small (M, M) SGPR
+    factors, where the recompute is free; the large primal-only call sites
+    (posterior caches, blocked diagonal panels) never pay it.
+
+    ``jitter`` is the FIRST attempt's relative jitter. Pass ``0.0`` for callers
+    whose matrix already carries its own jitter/noise diagonal (SGPR's Kuu, the
+    exact GP's K + sigma2 I): the first attempt factors K as given and
+    escalation starts from ``default_jitter(dtype)`` only on failure.
+    ``symmetrize=False`` skips XLA's input symmetrization — required when the
+    upper triangle holds stale values (blocked in-place factorizations).
     """
     if jitter is None:
         jitter = default_jitter(k.dtype)
-    scale = jnp.mean(jnp.diag(k))
-    eye = jnp.eye(k.shape[-1], dtype=k.dtype)
+    return _safe_cholesky(k, int(max_tries), float(jitter), bool(symmetrize))
 
-    def attempt(j):
-        return jnp.linalg.cholesky(k + (j * scale) * eye)
+
+def _chol_attempt(k: Array, jcoef: Array, symmetrize: bool) -> Array:
+    eye = jnp.eye(k.shape[-1], dtype=k.dtype)
+    return jax.lax.linalg.cholesky(k + jcoef * eye, symmetrize_input=symmetrize)
+
+
+def _escalate(k: Array, max_tries: int, jitter: float, symmetrize: bool):
+    """(L, final jitter coefficient) after NaN-driven escalation."""
+    base = jnp.asarray(default_jitter(k.dtype), dtype=k.dtype)
+    scale = jnp.mean(jnp.diagonal(k, axis1=-2, axis2=-1))
 
     def cond(state):
         i, _, l = state
@@ -58,12 +87,34 @@ def safe_cholesky(k: Array, max_tries: int = 5, jitter: float | None = None) -> 
 
     def body(state):
         i, j, _ = state
-        j = j * 10.0
-        return i + 1, j, attempt(j)
+        j = jnp.where(j > 0, j * 10.0, base)
+        return i + 1, j, _chol_attempt(k, j * scale, symmetrize)
 
     j0 = jnp.asarray(jitter, dtype=k.dtype)
-    _, _, l = jax.lax.while_loop(cond, body, (0, j0, attempt(j0)))
+    _, j_final, l = jax.lax.while_loop(
+        cond, body, (0, j0, _chol_attempt(k, j0 * scale, symmetrize)))
+    return l, j_final * scale
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(1, 2, 3))
+def _safe_cholesky(k: Array, max_tries: int, jitter: float, symmetrize: bool) -> Array:
+    l, _ = _escalate(k, max_tries, jitter, symmetrize)
     return l
+
+
+def _safe_cholesky_fwd(k, max_tries, jitter, symmetrize):
+    l, jcoef = _escalate(k, max_tries, jitter, symmetrize)
+    return l, (k, jcoef)
+
+
+def _safe_cholesky_bwd(max_tries, jitter, symmetrize, res, lbar):
+    k, jcoef = res
+    _, vjp = jax.vjp(
+        lambda kk: _chol_attempt(kk, jax.lax.stop_gradient(jcoef), symmetrize), k)
+    return vjp(lbar)
+
+
+_safe_cholesky.defvjp(_safe_cholesky_fwd, _safe_cholesky_bwd)
 
 
 def solve_triangular(l: Array, b: Array, *, lower: bool = True, trans: bool = False) -> Array:
