@@ -296,7 +296,14 @@ class HmsPreProcessor:
         x_mean: np.ndarray | None = None,
         x_std: np.ndarray | None = None,
         input_mean: np.ndarray | None = None,
+        event_reset: bool = False,
     ) -> None:
+        #: When True, the antecedent-precipitation convolutions restart at
+        #: every event boundary (``event_ids`` passed to fit/transform), so
+        #: event N's decayed tail cannot leak into event N+1's features. Off by
+        #: default for reference parity (gpras/preprocess.py:1251-1256 convolves
+        #: across the concatenated frame).
+        self.event_reset = bool(event_reset)
         self.precip_spatial_mode_count = precip_spatial_mode_count
         self.bc_mask = np.empty(0, dtype=bool) if bc_mask is None else np.asarray(bc_mask)
         self.precip_mask = np.empty(0, dtype=bool) if precip_mask is None else np.asarray(precip_mask)
@@ -313,6 +320,7 @@ class HmsPreProcessor:
         bc_mask: np.ndarray,
         precip_mask: np.ndarray,
         precip_spatial_mode_count: int | None = None,
+        event_ids: np.ndarray | None = None,
     ) -> None:
         """Center; PCA on the precip columns; derive mean-precip + two antecedent
         precipitation indices; standardize with nonzero-only std
@@ -335,7 +343,7 @@ class HmsPreProcessor:
         self.eigenvalues = explained
         self.n_samples_fit = n
 
-        feats = self._features(x)
+        feats = self._features(x, event_ids=event_ids)
         self.x_mean = feats.mean(axis=0)
         # std over nonzero entries only (gpras/preprocess.py:1261)
         stds = []
@@ -344,42 +352,63 @@ class HmsPreProcessor:
             stds.append(np.std(col) if col.size else np.nan)
         self.x_std = np.asarray(stds)
 
-    def _features(self, x_centered: np.ndarray) -> np.ndarray:
+    def _features(self, x_centered: np.ndarray,
+                  event_ids: np.ndarray | None = None) -> np.ndarray:
         """bc columns ++ precip EOF modes ++ mean precip ++ API(k=0.85) ++ API(k=1)
         (gpras/preprocess.py:1251-1257)."""
         x_bc = x_centered[:, self.bc_mask]
         x_precip = x_centered[:, self.precip_mask]
         avg_precip = np.mean(x_precip, axis=1)
-        api_1 = self.calc_antecedent_precipitation_index(avg_precip)
-        api_2 = self.calc_antecedent_precipitation_index(avg_precip, k=1)
+        ev = event_ids if self.event_reset else None
+        api_1 = self.calc_antecedent_precipitation_index(avg_precip, event_ids=ev)
+        api_2 = self.calc_antecedent_precipitation_index(avg_precip, k=1, event_ids=ev)
         precip_reduced = np.asarray(_project(jnp.asarray(x_precip), jnp.asarray(self.eofs)))
         return np.concatenate([x_bc, precip_reduced, avg_precip[:, None], api_1, api_2], axis=1)
 
-    def transform(self, x: np.ndarray) -> np.ndarray:
+    def transform(self, x: np.ndarray,
+                  event_ids: np.ndarray | None = None) -> np.ndarray:
         x = np.asarray(x) - self.input_mean
-        feats = self._features(x)
+        feats = self._features(x, event_ids=event_ids)
         return (feats - self.x_mean) / self.x_std
 
+    # NOTE (parity caveat): by default, like the reference
+    # (gpras/preprocess.py:1251-1256), the API features are convolved across the
+    # CONCATENATED multi-event frame, so a decayed tail of one event leaks into
+    # the next event's first timesteps. Both training and inference stack events
+    # the same way, so the treatment is at least consistent. Constructing the
+    # preprocessor with ``event_reset=True`` (config ``api_event_reset``) and
+    # passing ``event_ids`` restarts the convolution at each event boundary —
+    # zero cross-event leakage. ``event_ids=None`` under the flag treats the
+    # whole input as one event (the correct single-event serving semantics).
     @staticmethod
-    # NOTE (parity caveat): like the reference (gpras/preprocess.py:1251-1256),
-    # the API features below are convolved across the CONCATENATED multi-event
-    # frame, so a decayed tail of one event leaks into the next event's first
-    # timesteps. Both training and inference stack events the same way, so the
-    # treatment is at least consistent; a per-event reset would need event
-    # boundaries plumbed into transform() and is left as a documented deviation
-    # candidate.
     def calc_antecedent_precipitation_index(
-        x: np.ndarray, k: float = 0.85, window: int | None = None
+        x: np.ndarray, k: float = 0.85, window: int | None = None,
+        event_ids: np.ndarray | None = None,
     ) -> np.ndarray:
-        """Exponential-decay API convolution (gpras/preprocess.py:1284-1294)."""
-        if window is None:
-            window = len(x)
-        weights = k ** np.arange(window)
-        return np.convolve(x, weights, mode="full")[: len(x), np.newaxis]
+        """Exponential-decay API convolution (gpras/preprocess.py:1284-1294);
+        with ``event_ids``, a segment-reset convolution per contiguous event."""
+        if event_ids is None:
+            if window is None:
+                window = len(x)
+            weights = k ** np.arange(window)
+            return np.convolve(x, weights, mode="full")[: len(x), np.newaxis]
+        ev = np.asarray(event_ids)
+        if len(ev) != len(x):
+            raise ValueError(f"event_ids length {len(ev)} != data length {len(x)}")
+        out = np.empty((len(x), 1), dtype=np.asarray(x).dtype)
+        start = 0
+        for i in range(1, len(x) + 1):
+            if i == len(x) or ev[i] != ev[start]:
+                seg = np.asarray(x)[start:i]
+                w = k ** np.arange(window if window is not None else len(seg))
+                out[start:i, 0] = np.convolve(seg, w, mode="full")[: len(seg)]
+                start = i
+        return out
 
     def to_dict(self) -> dict[str, Any]:
         return {
             "precip_spatial_mode_count": self.precip_spatial_mode_count,
+            "event_reset": self.event_reset,
             "bc_mask": self.bc_mask,
             "precip_mask": self.precip_mask,
             "eofs": self.eofs,
@@ -396,6 +425,7 @@ class HmsPreProcessor:
             "class": "HmsPreProcessor",
             "precip_spatial_mode_count": int(d.pop("precip_spatial_mode_count")),
             "n_samples_fit": float(d.pop("n_samples_fit")),
+            "event_reset": bool(d.pop("event_reset")),
         }
         save_artifact(out_path, meta, d)
 
@@ -405,5 +435,6 @@ class HmsPreProcessor:
         return cls(
             precip_spatial_mode_count=meta["precip_spatial_mode_count"],
             n_samples_fit=meta["n_samples_fit"],
+            event_reset=meta.get("event_reset", False),
             **{k: v for k, v in arrays.items()},
         )

@@ -107,6 +107,11 @@ class Config:
     precip_spatial_mode_count: int = field(default=0, metadata={
         "help": "EOF mode count for the precip grid (hms_upskill/pseudo_surface).",
         "example": 5})
+    api_event_reset: bool = field(default=False, metadata={
+        "help": "Restart the antecedent-precipitation convolutions at event "
+                "boundaries (no cross-event leakage). Off = reference parity "
+                "(gpras/preprocess.py:1251-1256 convolves the concatenated frame).",
+        "example": True})
     fluvial_lf_preprocessor_path: str | None = field(default=None, metadata={
         "help": "LF preprocessor from a trained HMS-upskill model (pseudo_surface).",
         "example": "/data/hms_upskill/model/lf_preprocessor.npz"})

@@ -75,15 +75,26 @@ def get_hf_pre_processor(config: Config, data: pd.DataFrame, extracter) -> PrePr
 def get_hms_preprocessor(config: Config, data: pd.DataFrame) -> HmsPreProcessor:
     """Fit-or-load the forcing feature preprocessor (pipeline.py:64-74)."""
     if not config.lf_preprocessor_path.exists():
-        reducer = HmsPreProcessor()
+        reducer = HmsPreProcessor(event_reset=config.api_event_reset)
         precip_mask = np.array([str(c).startswith("precip_") for c in data.columns])
         mode_count = (config.precip_spatial_mode_count
                       if config.precip_spatial_mode_count > 0 else None)
-        reducer.fit(data.values, ~precip_mask, precip_mask, mode_count)
+        reducer.fit(data.values, ~precip_mask, precip_mask, mode_count,
+                    event_ids=_event_ids(data, config))
         reducer.to_file(config.lf_preprocessor_path)
     else:
         reducer = HmsPreProcessor.from_file(config.lf_preprocessor_path)
     return reducer
+
+
+def _event_ids(df: pd.DataFrame, config: Config) -> np.ndarray | None:
+    """Per-row event labels from the aligned frame's (run, t) MultiIndex, when
+    the API event-reset flag is on."""
+    if not config.api_event_reset:
+        return None
+    if isinstance(df.index, pd.MultiIndex) and "run" in (df.index.names or ()):
+        return np.asarray(df.index.get_level_values("run"))
+    return None
 
 
 def get_pre_processors(config: Config, hf_data: pd.DataFrame, lf_data: pd.DataFrame,
@@ -123,10 +134,16 @@ def pipeline(config: Config) -> dict[str, Any]:
     log.info("Preprocessing data")
     hf_reducer, lf_reducer = get_pre_processors(config, hf_data_df, lf_data_df, extracter)
     y = hf_reducer.transform(hf_data_df.values)
-    x = lf_reducer.transform(lf_data_df.values)
+    if isinstance(lf_reducer, HmsPreProcessor) and lf_reducer.event_reset:
+        x = lf_reducer.transform(lf_data_df.values,
+                                 event_ids=_event_ids(lf_data_df, config))
+        x_test = lf_reducer.transform(lf_test_df.values,
+                                      event_ids=_event_ids(lf_test_df, config))
+    else:
+        x = lf_reducer.transform(lf_data_df.values)
+        x_test = lf_reducer.transform(lf_test_df.values)
     # y_test (HF test modes) is only consumed by the diagnostic plots
     y_test = hf_reducer.transform(hf_test_df.values) if config.generate_plots else None
-    x_test = lf_reducer.transform(lf_test_df.values)
 
     # ---------------------------------------------------------------------- fit
     t3 = time.perf_counter()

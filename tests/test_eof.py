@@ -139,3 +139,42 @@ def test_api_convolution_matches_definition():
     api = HmsPreProcessor.calc_antecedent_precipitation_index(x, k=0.5)[:, 0]
     want = np.array([1.0, 0.5, 2.25, 1.125])
     np.testing.assert_allclose(api, want)
+
+
+def test_api_event_reset_zero_cross_event_leakage():
+    """Segment-reset convolution: event 2's API must equal the API computed on
+    event 2 alone — no decayed tail of event 1 leaks across the boundary."""
+    rng = np.random.default_rng(3)
+    e1, e2 = rng.uniform(size=10), rng.uniform(size=7)
+    x = np.concatenate([e1, e2])
+    ev = np.array(["a"] * 10 + ["b"] * 7)
+    api = HmsPreProcessor.calc_antecedent_precipitation_index(
+        x, k=0.85, event_ids=ev)[:, 0]
+    api_e1 = HmsPreProcessor.calc_antecedent_precipitation_index(e1, k=0.85)[:, 0]
+    api_e2 = HmsPreProcessor.calc_antecedent_precipitation_index(e2, k=0.85)[:, 0]
+    np.testing.assert_allclose(api[:10], api_e1, rtol=1e-12)
+    np.testing.assert_allclose(api[10:], api_e2, rtol=1e-12)
+    # without the reset the boundary rows differ (leakage is real)
+    api_global = HmsPreProcessor.calc_antecedent_precipitation_index(x, k=0.85)[:, 0]
+    assert abs(api_global[10] - api_e2[0]) > 1e-6
+
+
+def test_hms_preprocessor_event_reset_flag_round_trip(tmp_path):
+    rng = np.random.default_rng(4)
+    s, n_bc, n_precip = 40, 2, 10
+    x = np.abs(rng.normal(size=(s, n_bc + n_precip)))
+    bc_mask = np.array([True] * n_bc + [False] * n_precip)
+    ev = np.array(["e1"] * 20 + ["e2"] * 20)
+    hp = HmsPreProcessor(event_reset=True)
+    hp.fit(x, bc_mask, ~bc_mask, precip_spatial_mode_count=2, event_ids=ev)
+    feats = hp.transform(x, event_ids=ev)
+    # flag survives serialization
+    path = tmp_path / "hms.npz"
+    hp.to_file(path)
+    hp2 = HmsPreProcessor.from_file(path)
+    assert hp2.event_reset is True
+    np.testing.assert_allclose(hp2.transform(x, event_ids=ev), feats, rtol=1e-10)
+    # the reset actually changes the features vs the parity default
+    hp_flat = HmsPreProcessor()
+    hp_flat.fit(x, bc_mask, ~bc_mask, precip_spatial_mode_count=2)
+    assert not np.allclose(hp_flat.transform(x), feats)
