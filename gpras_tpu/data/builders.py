@@ -253,15 +253,29 @@ class DataBuilder:
     @cached_property
     def _rasterized_aoi(self) -> np.ndarray:
         """AOI mask on the plan's precip raster (reference gpras/preprocess.py:236-251).
-        Assumes AOI coordinates are in the raster CRS (no reprojection without
-        pyproj in this image)."""
+
+        The AOI (in the HF model's CRS, like every other geometry input) is
+        reprojected onto the raster's CRS (meta['Projection']) before
+        rasterizing — FFRD precip grids ship in the SHG Albers CRS while
+        models are in state-plane/UTM. No-op when either CRS is unrecorded
+        or they match (utils/crs.py gateway: pyproj when importable, owned
+        Snyder projections otherwise)."""
         meta = self.hf_ras.get_precip_attributes(self.plans[0])
         cellsize = float(meta["Raster Cellsize"])
         left = float(meta["Raster Left"])
         top = float(meta["Raster Top"])
         rows, cols = int(meta["Raster Rows"]), int(meta["Raster Cols"])
-        return rasterize_polygon(self.area_of_interest, (left, top), cellsize,
+        aoi = self._aoi_in(meta.get("Projection"))
+        return rasterize_polygon(aoi, (left, top), cellsize,
                                  (rows, cols), all_touched=True)
+
+    def _aoi_in(self, dst_wkt: str | None) -> Polygon:
+        """The AOI reprojected from the HF model CRS to ``dst_wkt`` (identity
+        when either CRS is unknown or they match)."""
+        from gpras_tpu.utils import crs as crs_mod
+
+        t = crs_mod.make_transformer(self.hf_ras.projection, dst_wkt)
+        return self.area_of_interest if t is None else self.area_of_interest.transformed(t)
 
     def get_ref_line_df(self, plan: str) -> pd.DataFrame:
         """Reference-line flow+WSE frame (reference gpras/preprocess.py:302-311)."""
@@ -519,8 +533,10 @@ class HmsUpskillDataBuilder(DataBuilder):
     @cached_property
     def _aoi_precip_mask(self) -> np.ndarray:
         """AOI mask on the HMS grid built from DSS grid metadata
-        (reference gpras/preprocess.py:771-806). CRS reprojection is skipped
-        (pyproj absent) — AOI must be in the grid CRS."""
+        (reference gpras/preprocess.py:771-806). The AOI is reprojected from
+        the HF model CRS to the grid's ``srsDefinition`` (the SHG Albers WKT
+        every HMS grid record carries) when both are known — the reference's
+        pyproj.Transformer step (preprocess.py:790-794)."""
         from gpras_tpu.data.dss import open_dss
 
         dss = open_dss(str(Path(self.precip_dss_dir) / f"{self.plans[0]}.dss"))
@@ -529,8 +545,9 @@ class HmsUpskillDataBuilder(DataBuilder):
         height = template.numberOfCellsY
         upper_left_x = template.lowerLeftCellX * pixel
         upper_left_y = (template.lowerLeftCellY + height) * pixel
+        aoi = self._aoi_in(getattr(template, "srsDefinition", None))
         return rasterize_polygon(
-            self.area_of_interest, (upper_left_x, upper_left_y), pixel,
+            aoi, (upper_left_x, upper_left_y), pixel,
             (template.numberOfCellsY, template.numberOfCellsX), all_touched=True)
 
 

@@ -67,6 +67,12 @@ class Polygon:
         """Vectorized point-in-polygon, (N, 2) -> (N,) bool."""
         return self._path.contains_points(np.asarray(pts, dtype=np.float64))
 
+    def transformed(self, fn) -> "Polygon":
+        """New polygon with ``fn`` ((N, 2) -> (N, 2)) applied to the ring —
+        the shapely.ops.transform surface the reference uses for CRS
+        reprojection (gpras/preprocess.py:791-794)."""
+        return Polygon(np.asarray(fn(self.ring), dtype=np.float64))
+
     @property
     def area(self) -> float:
         x, y = self.ring[:-1, 0], self.ring[:-1, 1]

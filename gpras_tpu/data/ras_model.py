@@ -68,6 +68,14 @@ class PlanHdf:
         return str(info.get("Plan Name", self.path.stem))
 
     @cached_property
+    def projection(self) -> str | None:
+        """Root 'Projection' WKT attribute (the CRS rashdf exposes on every
+        GeoDataFrame the reference builds, gpras/ras/model.py:168-174 via
+        mesh_cell_polygons); None when the file records no CRS."""
+        v = self._h5.attrs.get("Projection")
+        return _decode(v) if v is not None else None
+
+    @cached_property
     def geometry_title(self) -> str:
         info = self.attrs(PLAN_INFO_PATH)
         return str(info.get("Geometry Title", ""))
@@ -221,6 +229,16 @@ class RasModel:
         """WSE minus per-cell minimum elevation (reference gpras/ras/model.py:146-151)."""
         elevations = self.get_cell_minimum_elevation(plans[0], mesh_id)
         return self.get_plan_wsels(plans, mesh_id) - elevations
+
+    @cached_property
+    def projection(self) -> str | None:
+        """The model's CRS as WKT: first geometry HDF's root Projection attr,
+        plan HDFs as fallback (reference: rashdf attaches this CRS to every
+        geometry frame, so AOI/centerline inputs arrive in it)."""
+        for handle in list(self.geometry_hdfs.values()) + list(self.plan_hdfs.values()):
+            if handle.projection:
+                return handle.projection
+        return None
 
     def get_plan_geometry(self, plans: list[str], mesh_id: str) -> CellMesh:
         """Mesh cell polygons for the (single) geometry behind ``plans``

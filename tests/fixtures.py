@@ -73,9 +73,12 @@ def write_plan_hdf(path: Path, plan_name: str, mesh_wse: np.ndarray,
                    geometry_title: str = "geom1",
                    ref_lines: dict[str, tuple[np.ndarray, np.ndarray]] | None = None,
                    precip: np.ndarray | None = None,
-                   precip_meta: dict | None = None) -> None:
+                   precip_meta: dict | None = None,
+                   projection: str | None = None) -> None:
     t_steps = mesh_wse.shape[0]
     with h5py.File(path, "w") as f:
+        if projection is not None:
+            f.attrs["Projection"] = np.bytes_(projection.encode())
         info = f.create_group("Plan Data/Plan Information")
         info.attrs["Plan Name"] = np.bytes_(plan_name.encode())
         info.attrs["Geometry Title"] = np.bytes_(geometry_title.encode())
@@ -113,7 +116,9 @@ def write_plan_hdf(path: Path, plan_name: str, mesh_wse: np.ndarray,
 
 def make_project(root: Path, name: str, nx: int, ny: int, cell: float,
                  plans: list[str], amp: float = 3.0, seed: int = 0,
-                 elevation_fn=None) -> dict:
+                 elevation_fn=None, projection: str | None = None,
+                 precip: np.ndarray | None = None,
+                 precip_meta: dict | None = None) -> dict:
     """Write a synthetic RAS project (prj + per-plan HDFs + stac json).
 
     Returns dict with handy arrays (centroids, elevations, fields per plan).
@@ -140,7 +145,9 @@ def make_project(root: Path, name: str, nx: int, ny: int, cell: float,
             "outflow": (0.9 * q, elevations.mean() + 0.4 * np.log1p(q)),
         }
         write_plan_hdf(root / f"{name}.p{i+1:02d}.hdf", plan, field,
-                       elevations, areas, pts, fpi, ref_lines=ref)
+                       elevations, areas, pts, fpi, ref_lines=ref,
+                       projection=projection, precip=precip,
+                       precip_meta=precip_meta)
     stac = {
         "type": "Feature", "stac_version": "1.0.0", "id": name,
         "geometry": None, "properties": {"datetime": None}, "links": [],
