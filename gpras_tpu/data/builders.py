@@ -202,14 +202,22 @@ class DataBuilder:
 
     @cached_property
     def hf_geometry_aoi(self) -> pd.DataFrame:
-        """AOI cell table (id + centroid), the plotting/geometry surface the
-        reference exposes as a GeoDataFrame (gpras/preprocess.py:214-217)."""
+        """AOI cell table (id + centroid + polygon ring), the plotting/geometry
+        surface the reference exposes as a GeoDataFrame
+        (gpras/preprocess.py:214-217). The ``geometry`` column holds each
+        cell's (k, 2) exterior-ring vertex array — the same column name the
+        reference's GeoDataFrame uses — so the spatial plots can render true
+        polygon choropleths (PolyCollection, no GEOS needed)."""
         c = self.hf_centroids_aoi
-        return pd.DataFrame({
+        df = pd.DataFrame({
             self.cell_id_field: self.hf_cell_ids_aoi,
             "x": c[:, 0],
             "y": c[:, 1],
         })
+        verts, counts = self._hf_mesh.padded_vertices()
+        rows = np.nonzero(self._hf_mask)[0]
+        df["geometry"] = [verts[i, : counts[i]] for i in rows]
+        return df
 
     @cached_property
     def cell_areas(self) -> np.ndarray:

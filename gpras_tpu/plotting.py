@@ -8,10 +8,12 @@ error maps from the metrics SQLite DB, per-event metric timeseries, box/scatter
 summary plots, spatial EOF maps, detection-category maps, rating-curve and
 centerline-drop plots.
 
-Spatial maps render as centroid scatter plots (x/y columns from the cell table)
-rather than polygon choropleths — GEOS/geopandas is not available in this
-environment; the mesh geometry stays in the RAS HDF if exact polygons are needed
-downstream.
+Spatial maps render true polygon choropleths when the cell table carries a
+``geometry`` column of exterior-ring vertex arrays (DataBuilder.hf_geometry_aoi
+provides it straight from the mesh facepoints — matplotlib PolyCollection, no
+GEOS/geopandas needed, matching the reference's geopandas ``.plot`` maps,
+gpras/utils/plotting.py:356-443, 637-859). Tables without geometry (e.g.
+rebuilt from the parquet DB) fall back to centroid scatter.
 
 All functions write a PNG and close the figure (headless-safe).
 """
@@ -173,18 +175,53 @@ def ts_clipping(dx_dt: np.ndarray, cutoffs: tuple[int, int],
 
 # -------------------------------------------------------------------------- maps
 
-def _cell_scatter(ax, cell_table: pd.DataFrame, values: np.ndarray,
-                  cmap: str = "RdBu_r", vmax: float | None = None):
+def _cell_polys(cell_table: pd.DataFrame) -> list | None:
+    """Per-row polygon rings from the ``geometry`` column (None when absent —
+    e.g. cell tables rebuilt from the parquet DB, which keep centroids only)."""
+    if "geometry" not in cell_table.columns:
+        return None
+    polys = list(cell_table["geometry"])
+    if not polys or any(p is None or np.ndim(p) != 2 for p in polys):
+        return None
+    return polys
+
+
+def _cell_fill(ax, cell_table: pd.DataFrame, values: np.ndarray,
+               cmap: str = "RdBu_r", vmin: float | None = None,
+               vmax: float | None = None, symmetric: bool | None = None):
+    """Choropleth of ``values`` over the mesh: true cell polygons when the
+    table carries a ``geometry`` column (reference behavior,
+    gpras/utils/plotting.py:356-443 / 637-859 via geopandas .plot — here a
+    matplotlib PolyCollection, no GEOS), centroid scatter otherwise."""
+    values = np.asarray(values, dtype=float)
     if vmax is None:
         vmax = float(np.nanmax(np.abs(values))) if np.any(np.isfinite(values)) else 1.0
         if not np.isfinite(vmax) or vmax == 0:
             vmax = 1.0
-    # symmetric scale (white at 0) only when the field is actually signed
-    signed = bool(np.any(np.asarray(values) < 0))
+    if symmetric is None:
+        # symmetric scale (white at 0) only when the field is actually signed
+        symmetric = bool(np.any(values < 0))
+    if vmin is None:
+        vmin = -vmax if symmetric else float(np.nanmin(values))
+    polys = _cell_polys(cell_table)
+    if polys is not None:
+        from matplotlib.collections import PolyCollection
+
+        pc = PolyCollection(polys, array=values, cmap=cmap, edgecolors="none")
+        pc.set_clim(vmin, vmax)
+        ax.add_collection(pc)
+        ax.autoscale_view()
+        ax.set_aspect("equal")
+        return pc
     sc = ax.scatter(cell_table["x"], cell_table["y"], c=values, s=18, marker="s",
-                    cmap=cmap, vmin=-vmax if signed else None, vmax=vmax)
+                    cmap=cmap, vmin=vmin, vmax=vmax)
     ax.set_aspect("equal")
     return sc
+
+
+def _cell_scatter(ax, cell_table: pd.DataFrame, values: np.ndarray,
+                  cmap: str = "RdBu_r", vmax: float | None = None):
+    return _cell_fill(ax, cell_table, values, cmap=cmap, vmax=vmax)
 
 
 def map_mesh_errors(cell_table: pd.DataFrame, metrics_db: str | Path,
@@ -214,9 +251,8 @@ def map_errors(cell_table: pd.DataFrame, values: np.ndarray, error_metric: str,
     fig, ax = plt.subplots(figsize=(7, 5))
     vmin, vmax = (colormap_limits if colormap_limits is not None
                   else (float(np.nanmin(values)), float(np.nanmax(values))))
-    sc = ax.scatter(cell_table["x"], cell_table["y"], c=values, s=18,
-                    marker="s", vmin=vmin, vmax=vmax)
-    ax.set_aspect("equal")
+    sc = _cell_fill(ax, cell_table, values, cmap="viridis", vmin=vmin,
+                    vmax=vmax, symmetric=False)
     fig.colorbar(sc, ax=ax, label=error_metric)
     apply_formatting(ax, f"{error_metric} Map - {event}", "x", "y")
     _save(fig, out_path)
@@ -285,9 +321,8 @@ def plot_spatial_eof(plot_dir: str | Path, eof_vector: np.ndarray, mode: int,
     sub = cell_table.set_index(cell_id_field).loc[np.asarray(wet_cell_ids)]
     vmax = shared_vmax if shared_vmax is not None else float(np.max(np.abs(eof_vector))) or 1.0
     fig, ax = plt.subplots(figsize=(7, 5.5))
-    sc = ax.scatter(sub["x"], sub["y"], c=np.asarray(eof_vector), s=18,
-                    marker="s", cmap=cmap, vmin=-vmax, vmax=vmax)
-    ax.set_aspect("equal")
+    sc = _cell_fill(ax, sub, np.asarray(eof_vector), cmap=cmap, vmax=vmax,
+                    symmetric=True)
     fig.colorbar(sc, ax=ax, label="EOF Amplitude")
     apply_formatting(ax, title, "X coordinate", "Y coordinate")
     _save(fig, Path(plot_dir) / f"eof_{mode}.png")
@@ -301,8 +336,7 @@ def plot_eof_maps(eofs: np.ndarray, wet_cell_ids: list, cell_table: pd.DataFrame
     out = Path(out_dir)
     for m in range(min(n_modes, eofs.shape[0])):
         fig, ax = plt.subplots(figsize=(6, 5))
-        sc = ax.scatter(sub["x"], sub["y"], c=eofs[m], s=18, marker="s", cmap=cmap)
-        ax.set_aspect("equal")
+        sc = _cell_fill(ax, sub, eofs[m], cmap=cmap, symmetric=False)
         fig.colorbar(sc, ax=ax, label=f"EOF {m}")
         apply_formatting(ax, f"EOF mode {m}", "x", "y")
         _save(fig, out / f"eof_{m}.png")
@@ -334,12 +368,22 @@ def map_detection_categories(cell_table: pd.DataFrame, hf_depth: np.ndarray,
                                 np.where(~hf_wet & pr_wet, "FalseAlarm",
                                          "CorrectNeg")))
         fig, ax = plt.subplots(figsize=(6, 5))
+        polys = _cell_polys(table)
         for name, color in colors.items():
             if name == "CorrectNeg" and not include_correct_negative:
                 continue
             mask = cat == name
-            ax.scatter(table["x"].values[mask], table["y"].values[mask], s=18,
-                       marker="s", c=color, label=name)
+            if polys is not None:
+                from matplotlib.collections import PolyCollection
+
+                sel_polys = [p for p, m in zip(polys, mask) if m]
+                ax.add_collection(PolyCollection(sel_polys, facecolors=color,
+                                                 edgecolors="none", label=name))
+            else:
+                ax.scatter(table["x"].values[mask], table["y"].values[mask],
+                           s=18, marker="s", c=color, label=name)
+        if polys is not None:
+            ax.autoscale_view()
         ax.set_aspect("equal")
         ax.legend(fontsize=7)
         apply_formatting(ax, f"Detection categories — {event}", "x", "y")

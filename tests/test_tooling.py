@@ -196,6 +196,65 @@ def test_plotting_suite_smoke(tmp_path):
     assert (tmp_path / "det" / "e1_detection.png").exists()
 
 
+def test_polygon_choropleth_renders_pixels(tmp_path):
+    """Cell tables with a ``geometry`` column render true polygon fills
+    (PolyCollection), and the saved PNG actually contains the two cell colors
+    in their interiors (reference parity: geopandas .plot choropleths,
+    gpras/utils/plotting.py:410-443)."""
+    import matplotlib.pyplot as plt
+    from matplotlib.collections import PolyCollection
+
+    import gpras_tpu.plotting as pl
+
+    # two unit squares side by side, extreme values -> opposite cmap ends
+    left = np.array([[0, 0], [1, 0], [1, 1], [0, 1]], dtype=float)
+    right = left + [1.0, 0.0]
+    cells = pd.DataFrame({"cell_id": [0, 1], "x": [0.5, 1.5], "y": [0.5, 0.5]})
+    cells["geometry"] = [left, right]
+    fig, ax = plt.subplots()
+    art = pl._cell_fill(ax, cells, np.array([0.0, 1.0]), cmap="viridis",
+                        symmetric=False)
+    assert isinstance(art, PolyCollection)
+    out = tmp_path / "poly.png"
+    fig.savefig(out, dpi=100)
+    plt.close(fig)
+    img = plt.imread(out)  # (H, W, 4) floats
+    h, w = img.shape[:2]
+    # sample interior pixels of each cell via the axes transform
+    disp = ax.transData.transform(np.array([[0.5, 0.5], [1.5, 0.5]]))
+    px = [(int(h - d[1]), int(d[0])) for d in disp]  # row, col
+    c_left, c_right = (img[r, c, :3] for r, c in px)
+    # viridis: low = dark purple (blue-dominant), high = yellow (red+green)
+    assert not np.allclose(c_left, c_right, atol=0.05)
+    assert c_left[2] > c_left[0]   # purple end: blue > red
+    assert c_right[0] > 0.7 and c_right[1] > 0.7 and c_right[2] < 0.4  # yellow
+
+    # tables without geometry still render (scatter fallback)
+    fig2, ax2 = plt.subplots()
+    art2 = pl._cell_fill(ax2, cells.drop(columns="geometry"),
+                         np.array([0.0, 1.0]))
+    assert not isinstance(art2, PolyCollection)
+    plt.close(fig2)
+
+
+def test_detection_map_uses_polygons(tmp_path):
+    """map_detection_categories renders polygon fills when geometry exists."""
+    import gpras_tpu.plotting as pl
+
+    rng = np.random.default_rng(1)
+    polys = [np.array([[i, 0], [i + 1, 0], [i + 1, 1], [i, 1]], dtype=float)
+             for i in range(6)]
+    cells = pd.DataFrame({"cell_id": range(6),
+                          "x": np.arange(6) + 0.5, "y": [0.5] * 6})
+    cells["geometry"] = polys
+    depth = np.abs(rng.normal(size=(10, 6)))
+    idx = pd.MultiIndex.from_product([["e1"], range(10)])
+    pl.map_detection_categories(cells, depth, depth + 0.3, idx.values,
+                                list(range(6)), tmp_path, wet_threshold_depth=0.5)
+    out = tmp_path / "e1_detection.png"
+    assert out.exists() and out.stat().st_size > 5000
+
+
 # ---------------------------------------------------------- cross-validation
 
 def test_cv_config_splits_within_training_set(tmp_path):
