@@ -211,6 +211,66 @@ def bench_predict_throughput(n: int = 4096, m: int = 128, p_modes: int = 16,
     return s_events / dt
 
 
+def bench_field_throughput(n: int = 4096, m: int = 128, p_modes: int = 50,
+                           s_events: int = 512, d: int = 8,
+                           n_cells: int = 49152) -> float:
+    """End-to-end storm-event predictions/sec INCLUDING the EOF reverse
+    transform with variance propagation (gpras/gpr.py:322-342 +
+    gpras/preprocess.py:1052-1094): GP posterior over 50 modes -> full
+    ~49k-cell depth field + propagated variance, one jitted program. This is
+    the number a user of predict_field feels; the mode-space number above
+    isolates the GP core."""
+    import jax
+    import jax.numpy as jnp
+
+    from gpras_tpu.gp import model as gmodel
+    from gpras_tpu.gp import sgpr
+    from gpras_tpu.gp.serving import make_field_decoder
+
+    kernel = "Matern52"
+    x, y0 = _make_data(n, d, jnp.float32)
+    y = jnp.stack([y0 * (0.5 + 0.1 * i) for i in range(p_modes)], axis=1)
+    params = sgpr.init_params(kernel, x, x[:m])
+    batched = jax.tree.map(
+        lambda leaf: jnp.broadcast_to(leaf, (p_modes,) + leaf.shape), params)
+    cache = jax.vmap(
+        lambda p, y_i: gmodel._sgpr_posterior_cache(kernel, p, x, y_i),
+        in_axes=(0, 1))(batched, y)
+
+    rng = np.random.default_rng(3)
+    n_wet = (n_cells * 7) // 8
+    dry = np.zeros(n_cells, bool)
+    dry[rng.choice(n_cells, n_cells - n_wet, replace=False)] = True
+    decode = make_field_decoder(
+        eofs=rng.normal(size=(p_modes, n_wet)).astype(np.float32),
+        x_mean=rng.normal(size=p_modes).astype(np.float32),
+        x_std=(np.abs(rng.normal(size=p_modes)) + 0.5).astype(np.float32),
+        input_mean=rng.normal(size=n_wet).astype(np.float32),
+        dry_mask=dry,
+        weights=(np.abs(rng.normal(size=n_wet)) + 0.5).astype(np.float32),
+        hydraulic_parameter="depth")
+    xq = _make_data(s_events, d, jnp.float32)[0]
+
+    @jax.jit
+    def predict_field(b, c, q):
+        mean, var = jax.vmap(
+            lambda p, ci: gmodel._sgpr_predict_from_cache(kernel, p, ci, q)
+        )(b, c)  # (modes, events) each
+        return decode(mean.T, var.T)  # (events, cells) x2
+
+    out = predict_field(batched, cache, xq)
+    float(out[0].ravel()[0])  # scalar fetch = the only real barrier here
+    reps = 10  # 2 x (512, 49152) f32 outputs per rep: keep total < HBM
+    qs = [xq + jnp.float32(i + 1) * jnp.float32(1e-6) for i in range(reps)]
+    jax.block_until_ready(qs)
+    float(qs[-1].ravel()[0])
+    t0 = time.perf_counter()
+    outs = [predict_field(batched, cache, q) for q in qs]
+    float(outs[-1][0].ravel()[0])
+    dt = (time.perf_counter() - t0) / reps
+    return s_events / dt
+
+
 def _run_single(n: int, steps: int) -> None:
     """Subprocess entry: bench one size, print elapsed seconds on stdout."""
     elapsed = bench_exact_fit(n, steps=steps)
@@ -255,6 +315,11 @@ def main() -> None:
     except Exception as e:
         print(f"# predict bench failed: {e}", file=sys.stderr)
         pred_rate = float("nan")
+    try:
+        field_rate = bench_field_throughput()
+    except Exception as e:
+        print(f"# field bench failed: {e}", file=sys.stderr)
+        field_rate = float("nan")
     result = {
         "metric": f"exact_gp_fit_n{n_used}_{steps}adam_steps",
         "value": round(elapsed, 4),
@@ -263,6 +328,7 @@ def main() -> None:
         "n": n_used,
         "steps": steps,
         "storm_event_predictions_per_sec": round(pred_rate, 1),
+        "full_field_predictions_per_sec": round(field_rate, 1),
     }
     # Secondary capability point: the matrix-free CG engine at 131,072 —
     # beyond any factorization's HBM ceiling (the matrix would be 64 GB).

@@ -12,6 +12,7 @@ reverse-transform so callers get full cell fields + propagated variance.
 from __future__ import annotations
 
 from pathlib import Path
+from typing import Callable
 
 import numpy as np
 
@@ -19,6 +20,77 @@ from gpras_tpu.eof.preprocessor import PreProcessor
 from gpras_tpu.gp.model import GPRAS
 
 DEFAULT_BUCKETS = (256, 1024, 4096, 16384)
+
+
+def make_field_decoder(
+    eofs: np.ndarray,
+    x_mean: np.ndarray,
+    x_std: np.ndarray,
+    input_mean: np.ndarray,
+    dry_mask: np.ndarray,
+    weights: np.ndarray | None = None,
+    elevations: np.ndarray | None = None,
+    hydraulic_parameter: str = "wse",
+) -> Callable:
+    """Device-side EOF reverse transform: a jitted ``(mode_mean, mode_var) ->
+    (field, field_var)`` decoder, numerically identical to
+    ``PreProcessor.reverse_transform`` (gpras/preprocess.py:1052-1094) but
+    running entirely on device so serving can fuse GP posterior + field
+    reconstruction in one program.
+
+    ``eofs`` is (modes, n_wet); ``dry_mask`` is the (n_cells,) boolean
+    always-dry mask; inputs to the returned fn are (events, modes); outputs
+    are (events, n_cells). Dry cells are filled with 0 (depth) or elevation
+    (wse); their variance is 0.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    dry_mask = np.asarray(dry_mask, bool)
+    n_cells = dry_mask.shape[0]
+    wet_idx = jnp.asarray(np.flatnonzero(~dry_mask))
+    eofs_d = jnp.asarray(eofs)
+    x_mean_d = jnp.asarray(x_mean)
+    x_std_d = jnp.asarray(x_std)
+    input_mean_d = jnp.asarray(input_mean)
+    inv_w = None if weights is None else 1.0 / jnp.asarray(weights)
+    # exact variance-propagation matrix: (diag(x_std) @ eofs / weights)^2
+    a = x_std_d[:, None] * eofs_d
+    if inv_w is not None:
+        a = a * inv_w[None, :]
+    var_transform = a * a
+    if hydraulic_parameter == "depth":
+        fill = jnp.zeros((n_cells,), eofs_d.dtype)
+    else:
+        if elevations is None:
+            raise ValueError("wse decoding requires elevations for dry fill")
+        fill = jnp.where(jnp.asarray(dry_mask), jnp.asarray(elevations, eofs_d.dtype), 0.0)
+
+    @jax.jit
+    def decode(mode_mean, mode_var=None):
+        m = mode_mean * x_std_d + x_mean_d
+        wet = jnp.matmul(m, eofs_d, preferred_element_type=m.dtype)
+        if inv_w is not None:
+            wet = wet * inv_w[None, :]
+        wet = wet + input_mean_d
+        s = mode_mean.shape[0]
+        full = jnp.broadcast_to(fill, (s, n_cells)).at[:, wet_idx].set(wet)
+        if mode_var is None:
+            return full
+        var_wet = jnp.matmul(mode_var, var_transform,
+                             preferred_element_type=wet.dtype)
+        var_full = jnp.zeros((s, n_cells), wet.dtype).at[:, wet_idx].set(var_wet)
+        return full, var_full
+
+    return decode
+
+
+def field_decoder_from_preprocessor(pre: PreProcessor) -> Callable:
+    """Build the device decoder from a fitted ``PreProcessor``."""
+    return make_field_decoder(
+        pre.eofs, pre.x_mean, pre.x_std, pre.input_mean, pre.dry_indices,
+        weights=pre.weights, elevations=pre.elevations,
+        hydraulic_parameter=pre.hydraulic_parameter)
 
 
 class PosteriorPredictor:

@@ -100,3 +100,33 @@ def test_predictor_with_hms_lf_preprocessor(tmp_path):
                               buckets=(64,))
     with pytest.raises(RuntimeError, match="preprocessor"):
         bare.predict_field(forcing)
+
+
+def test_device_field_decoder_matches_reverse_transform():
+    """make_field_decoder == PreProcessor.reverse_transform bit-for-math,
+    for both hydraulic parameters, with weights and dry cells."""
+    from gpras_tpu.gp.serving import field_decoder_from_preprocessor
+
+    rng = np.random.default_rng(7)
+    s, c = 25, 60
+    t = np.linspace(0, 1, s)
+    base = (np.outer(np.sin(2 * np.pi * t), rng.normal(size=c)) * 2
+            + np.outer(np.cos(3 * t), rng.normal(size=c)))
+    elev = rng.normal(size=c) * 0.1
+    for hp in ("wse", "depth"):
+        field = base + (8.0 if hp == "wse" else 0.0)
+        if hp == "depth":
+            field = np.abs(field)
+        field[:, :5] = elev[:5] if hp == "wse" else 0.0  # always-dry cells
+        pre = PreProcessor(hydraulic_parameter=hp)
+        pre.fit(field, elev, weights=np.abs(rng.normal(size=c)) + 0.5,
+                spatial_mode_count=4)
+        mean = rng.normal(size=(s, pre.spatial_mode_count))
+        var = np.abs(rng.normal(size=mean.shape))
+        ref_mean, ref_var = pre.reverse_transform(mean, var)
+        decode = field_decoder_from_preprocessor(pre)
+        dev_mean, dev_var = decode(jnp.asarray(mean), jnp.asarray(var))
+        np.testing.assert_allclose(np.asarray(dev_mean), ref_mean, rtol=1e-10)
+        np.testing.assert_allclose(np.asarray(dev_var), ref_var, rtol=1e-10)
+        mean_only = decode(jnp.asarray(mean))
+        np.testing.assert_allclose(np.asarray(mean_only), ref_mean, rtol=1e-10)
