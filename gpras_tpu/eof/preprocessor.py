@@ -40,8 +40,10 @@ def compute_norths_rule(eigenvalues: np.ndarray, n_samples: int) -> int:
     'no gap found -> keep all Kaiser modes' branch)."""
     eigenvalues = np.asarray(eigenvalues, dtype=np.float64)
     eigenvalues = eigenvalues[eigenvalues > 1]
-    if len(eigenvalues) == 0:
-        return 0
+    if len(eigenvalues) <= 1:
+        # 0 or 1 Kaiser modes: no gaps to test (the reference crashes on the
+        # single-mode case — np.argmax over an empty diff)
+        return int(len(eigenvalues))
     d_eigen = np.abs(np.diff(eigenvalues))
     d_error = np.sqrt(2.0 / n_samples) * eigenvalues[:-1]
     ind = int(np.argmax(d_eigen <= d_error))

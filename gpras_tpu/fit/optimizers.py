@@ -72,6 +72,24 @@ def _apply_mask(grads: Params, mask: Params | None) -> Params:
     return {k: grads[k] * mask[k].astype(grads[k].dtype) for k in grads}
 
 
+def _apply_floors(params: Params, floors: dict[str, float] | None) -> Params:
+    """Project parameters onto ``{p_k >= floor_k}`` after an update step.
+
+    The float32 stability companion to the reference's unconstrained log
+    params (gpras/gpr.py:303-305): once the fitted noise shrinks past the
+    bf16_3x Cholesky cliff (docs/PERFORMANCE.md), a single Adam overshoot
+    NaNs the factorization. A floor on ``log_noise_variance`` (GPyTorch
+    floors raw noise at 1e-4 for the same reason) keeps the exact-GP fit
+    on the stable side with no effect on converged values above the floor.
+    """
+    if not floors:
+        return params
+    return {
+        k: (jnp.maximum(v, jnp.asarray(floors[k], v.dtype)) if k in floors else v)
+        for k, v in params.items()
+    }
+
+
 # ---------------------------------------------------------------------------
 # Adam / Adadelta
 # ---------------------------------------------------------------------------
@@ -84,36 +102,71 @@ def adam_fit(
     tol: float = 1e-5,
     patience: int = 50,
     mask: Params | None = None,
+    lower_bounds: dict[str, float] | None = None,
+    reject_nonfinite: bool = False,
 ) -> tuple[Params, dict[str, Array]]:
     """Adam with the reference's early stopping (gpras/gpr.py:159-173).
 
     Stops when the relative improvement over the best-seen loss has been below
     ``tol`` for more than ``patience`` consecutive steps. Defaults mirror
     tf.keras Adam (lr 0.001, eps 1e-7) and the reference's tol/patience.
+    ``lower_bounds`` optionally projects named params onto ``>= floor`` after
+    each step (float32 stability — see ``_apply_floors``).
+
+    ``reject_nonfinite`` adds AMP-GradScaler-style step rejection: when the
+    loss or any gradient is non-finite, the step is skipped and params +
+    optimizer state revert to the last finite iterate (a rejected step counts
+    against ``patience``, so an optimizer pinned at the float32 stability
+    boundary terminates as converged with finite params instead of NaN). The
+    reference has no equivalent — GPflow/TF just NaNs out (its float64 loses
+    the race later, at bigger N).
     """
     opt = optax.adam(learning_rate, b1=0.9, b2=0.999, eps=1e-7)
     vag = jax.value_and_grad(loss_fn)
 
     def cond(state):
-        i, _, _, _, count, _ = state
+        i, _, _, _, count, _, _, _ = state
         return jnp.logical_and(i < max_iter, count <= patience)
 
     def body(state):
-        i, p, opt_state, best, count, losses = state
+        i, p, opt_state, best, count, losses, good_p, good_opt = state
         loss, grads = vag(p)
         grads = _apply_mask(grads, mask)
-        updates, opt_state = opt.update(grads, opt_state, p)
-        p = optax.apply_updates(p, updates)
+        updates, opt_next = opt.update(grads, opt_state, p)
+        p_next = optax.apply_updates(p, updates)
+        p_next = _apply_floors(p_next, lower_bounds)
         improved = (best - loss) / jnp.abs(loss) > tol
         best = jnp.where(improved, loss, best)
         count = jnp.where(improved, 0, count + 1)
         losses = losses.at[i].set(loss)
-        return i + 1, p, opt_state, best, count, losses
+        if reject_nonfinite:
+            finite = jnp.isfinite(loss)
+            for g in jax.tree.leaves(grads):
+                finite = finite & jnp.all(jnp.isfinite(g))
+            pick = lambda a, b: jax.tree.map(
+                lambda u, v: jnp.where(finite, u, v), a, b)
+            p_next = pick(p_next, good_p)
+            opt_next = pick(opt_next, good_opt)
+            good_p = pick(p, good_p)
+            good_opt = pick(opt_state, good_opt)
+        else:
+            # a non-finite loss can never improve again — stop now instead
+            # of burning `patience` more steps on NaN params
+            count = jnp.where(jnp.isfinite(loss), count, patience + 1)
+        return i + 1, p_next, opt_next, best, count, losses, good_p, good_opt
 
     dtype = params[next(iter(params))].dtype
     losses0 = jnp.full((max_iter,), jnp.nan, dtype=dtype)
-    init = (0, params, opt.init(params), jnp.asarray(jnp.inf, dtype), 0, losses0)
-    i, p, _, _, _, losses = jax.lax.while_loop(cond, body, init)
+    opt0 = opt.init(params)
+    init = (0, params, opt0, jnp.asarray(jnp.inf, dtype), 0, losses0,
+            params, opt0)
+    i, p, _, _, _, losses, good_p, _ = jax.lax.while_loop(cond, body, init)
+    if reject_nonfinite:
+        # the last iterate may itself be the one that went non-finite;
+        # fall back to the last known-good params in that case
+        final_loss = loss_fn(p)
+        ok = jnp.isfinite(final_loss)
+        p = jax.tree.map(lambda u, v: jnp.where(ok, u, v), p, good_p)
     return p, {"iterations": i, "losses": losses, "loss": loss_fn(p)}
 
 

@@ -125,3 +125,43 @@ def test_dispatcher_names_match_reference():
 def test_dispatcher_rejects_unknown():
     with pytest.raises(ValueError):
         opt.fit(lambda p: 0.0, {}, method="nope")
+
+
+def test_adam_lower_bounds_floor_params():
+    """lower_bounds projects named params onto >= floor after every step."""
+    params = {"log_noise_variance": jnp.asarray(0.0)}
+    # gradient always pushes the param down hard
+    loss_fn = lambda p: 10.0 * p["log_noise_variance"]
+    fitted, _ = opt.adam_fit(loss_fn, params, max_iter=200, learning_rate=0.5,
+                             lower_bounds={"log_noise_variance": -2.0})
+    assert float(fitted["log_noise_variance"]) >= -2.0 - 1e-9
+
+
+def test_adam_rejects_nonfinite_steps():
+    """reject_nonfinite keeps params at the last finite iterate when the loss
+    surface NaNs (AMP-GradScaler-style skip); without it the early stop bails
+    immediately and the fit dies where it stood."""
+    params = {"p": jnp.asarray(0.0)}
+
+    def loss_fn(pp):
+        p = pp["p"]
+        return jnp.where(p < 1.0, (p - 2.0) ** 2, jnp.nan)
+
+    fitted, info = opt.adam_fit(loss_fn, params, max_iter=500,
+                                learning_rate=0.05, patience=10,
+                                reject_nonfinite=True)
+    assert np.isfinite(float(info["loss"]))
+    assert float(fitted["p"]) < 1.0
+    # pinned at the boundary -> terminated by patience, not max_iter
+    assert int(info["iterations"]) < 500
+
+
+def test_adam_nonfinite_loss_stops_early_without_rejection():
+    params = {"p": jnp.asarray(2.0)}  # starts inside the NaN region
+
+    def loss_fn(pp):
+        p = pp["p"]
+        return jnp.where(p < 1.0, (p - 2.0) ** 2, jnp.nan)
+
+    _, info = opt.adam_fit(loss_fn, params, max_iter=500, patience=10)
+    assert int(info["iterations"]) == 1  # bails on the first NaN
