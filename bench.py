@@ -277,6 +277,48 @@ def _run_single(n: int, steps: int) -> None:
     print(f"ELAPSED {elapsed:.6f}")
 
 
+def _run_accuracy(path: str, out: str) -> None:
+    """Subprocess entry: one accuracy path (gpras_tpu/accuracy.py).
+
+    The f64 gold path must run on CPU with x64 enabled — both set here,
+    BEFORE any jax device query (the platform freezes at first query)."""
+    import jax
+
+    if path == "f64":
+        jax.config.update("jax_platforms", "cpu")
+        jax.config.update("jax_enable_x64", True)
+    elif os.environ.get("GPRAS_ACCURACY_CPU", "0") == "1":
+        jax.config.update("jax_platforms", "cpu")  # debug: f32 path off-TPU
+    from gpras_tpu import accuracy
+
+    np.savez(out, **accuracy.run_path(path))
+    print("ACCURACY_OK")
+
+
+def bench_accuracy(timeout: float) -> dict:
+    """Depth-RMSE parity of the f32 TPU pipeline vs the f64 dense exact gold
+    posterior (BASELINE.md's accuracy north star), via two subprocesses (the
+    two paths need different frozen platforms/precisions)."""
+    import subprocess
+    import tempfile
+
+    outs = {}
+    with tempfile.TemporaryDirectory() as td:
+        for path in ("f32", "f64"):
+            out = os.path.join(td, f"{path}.npz")
+            proc = subprocess.run(
+                [sys.executable, os.path.abspath(__file__), "--accuracy",
+                 path, out],
+                capture_output=True, text=True, timeout=timeout)
+            if "ACCURACY_OK" not in proc.stdout:
+                raise RuntimeError(
+                    f"accuracy path {path} failed: {proc.stderr[-400:]}")
+            outs[path] = dict(np.load(out))
+    from gpras_tpu import accuracy
+
+    return accuracy.summarize(outs["f32"], outs["f64"])
+
+
 def main() -> None:
     import subprocess
 
@@ -349,11 +391,21 @@ def main() -> None:
                     break
         except Exception as e:  # never fail the headline for the extra
             print(f"# cg-131k extra failed: {e}", file=sys.stderr)
+    # Accuracy north star: depth-RMSE of the f32 TPU pipeline vs the f64
+    # dense exact gold posterior (BASELINE.md). Disable with
+    # GPRAS_BENCH_ACCURACY=0.
+    if os.environ.get("GPRAS_BENCH_ACCURACY", "1") == "1":
+        try:
+            result.update(bench_accuracy(timeout))
+        except Exception as e:  # never fail the headline for the extra
+            print(f"# accuracy bench failed: {e}", file=sys.stderr)
     print(json.dumps(result))
 
 
 if __name__ == "__main__":
     if len(sys.argv) > 1 and sys.argv[1] == "--single":
         _run_single(int(sys.argv[2]), int(sys.argv[3]))
+    elif len(sys.argv) > 1 and sys.argv[1] == "--accuracy":
+        _run_accuracy(sys.argv[2], sys.argv[3])
     else:
         main()

@@ -1,0 +1,153 @@
+"""Accuracy north star: depth-RMSE of the f32 TPU pipeline vs the f64 dense
+exact posterior (BASELINE.md "depth-RMSE parity" clause).
+
+A deterministic synthetic flood-upskilling problem at pipeline scale (low-rank
+HF depth field driven by a latent forcing, a coarse LF field carrying the same
+information — the structure the reference's upskilling workflow assumes,
+gpras/preprocess.py:327-427) is pushed through the full surrogate chain
+twice:
+
+- **f32 path**: EOF preprocessors + SGPR GP fit/predict in float32 on the
+  default platform (the TPU in production) — exactly what a pipeline user
+  runs (reference chain: gpras/gpr.py:299-342 + preprocess.py:1009-1094).
+- **f64 gold path**: the same data through a float64 dense exact GP on CPU —
+  the in-repo ground truth for GPflow's float64 math (gpras/gpr.py:18).
+
+Both paths reconstruct full-cell depth fields for held-out test events; the
+benchmark reports each path's depth-RMSE against the synthetic truth, the
+RMSE *between* the two predictions (the pure numerics gap), and 2-sigma
+posterior coverage (calibration). Run via ``python bench.py`` (merged into
+the headline JSON) or per-path via ``python bench.py --accuracy <path>``.
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+import numpy as np
+
+#: pipeline-scale default problem; tests shrink it.
+DEFAULT_CONFIG: dict[str, Any] = {
+    "n_events": 36,
+    "n_train_events": 26,
+    "t_steps": 48,
+    "n_cells_hf": 16384,
+    "n_cells_lf": 2048,
+    "noise": 0.02,
+    "seed": 0,
+    "n_inducing": 128,
+    "max_iter": 300,
+}
+
+
+def make_problem(cfg: dict[str, Any] | None = None) -> dict[str, np.ndarray]:
+    """Deterministic synthetic upskilling problem (float64 host arrays).
+
+    Latent 3-d forcing per event (hydrograph pulses with random peak/phase)
+    drives a rank-6 HF depth field through mildly nonlinear features and a
+    rank-3 LF depth field linearly — so LF modes carry the latent state and
+    the GP must learn the nonlinear LF->HF map, like the real
+    RasUpskillDataBuilder problem (gpras/preprocess.py:327-427).
+    """
+    cfg = {**DEFAULT_CONFIG, **(cfg or {})}
+    rng = np.random.default_rng(cfg["seed"])
+    ne, ts = cfg["n_events"], cfg["t_steps"]
+    t = np.linspace(0.0, 1.0, ts)
+
+    peaks = rng.uniform(0.8, 3.0, size=(ne, 3))
+    centers = rng.uniform(0.3, 0.7, size=(ne, 3))
+    widths = rng.uniform(0.01, 0.05, size=(ne, 3))
+    # u: (events, steps, 3) smooth pulses
+    u = peaks[:, None, :] * np.exp(
+        -((t[None, :, None] - centers[:, None, :]) ** 2) / widths[:, None, :])
+
+    def features(uu: np.ndarray) -> np.ndarray:
+        u1, u2, u3 = uu[..., 0], uu[..., 1], uu[..., 2]
+        return np.stack(
+            [u1, u2, u3, 0.3 * u1 * u1, 0.4 * u1 * u2, np.tanh(u3)], axis=-1)
+
+    f_hf = features(u).reshape(ne * ts, 6)
+    pat_hf = rng.normal(size=(6, cfg["n_cells_hf"]))
+    # smooth-ish positive patterns so depths are mostly wet with dry fringes
+    hf = np.maximum(f_hf @ np.abs(pat_hf) * 0.2
+                    + cfg["noise"] * rng.normal(size=(ne * ts, cfg["n_cells_hf"]))
+                    - 0.05, 0.0)
+    pat_lf = rng.normal(size=(3, cfg["n_cells_lf"]))
+    lf = np.maximum(u.reshape(ne * ts, 3) @ np.abs(pat_lf) * 0.2
+                    + cfg["noise"] * rng.normal(size=(ne * ts, cfg["n_cells_lf"]))
+                    - 0.02, 0.0)
+
+    n_train = cfg["n_train_events"] * ts
+    return {
+        "hf_train": hf[:n_train], "hf_test": hf[n_train:],
+        "lf_train": lf[:n_train], "lf_test": lf[n_train:],
+        "elev_hf": np.zeros(cfg["n_cells_hf"]),
+        "elev_lf": np.zeros(cfg["n_cells_lf"]),
+    }
+
+
+def run_path(path: str, cfg: dict[str, Any] | None = None
+             ) -> dict[str, np.ndarray]:
+    """Run one surrogate path end-to-end; returns predicted test depth fields.
+
+    ``path``: "f32" (SGPR, float32, default platform) or "f64" (dense exact
+    GP, float64 — caller must have enabled x64 / CPU platform first).
+    """
+    import jax.numpy as jnp
+
+    from gpras_tpu.eof.preprocessor import PreProcessor
+    from gpras_tpu.gp.model import GPRAS
+
+    cfg = {**DEFAULT_CONFIG, **(cfg or {})}
+    prob = make_problem(cfg)
+
+    hf_pre = PreProcessor(hydraulic_parameter="depth")
+    hf_pre.fit(prob["hf_train"], prob["elev_hf"])
+    lf_pre = PreProcessor(hydraulic_parameter="depth")
+    lf_pre.fit(prob["lf_train"], prob["elev_lf"])
+    x_train = lf_pre.transform(prob["lf_train"])
+    y_train = hf_pre.transform(prob["hf_train"])
+    x_test = lf_pre.transform(prob["lf_test"])
+
+    if path == "f32":
+        model = GPRAS("Matern52", model_type="sgpr", dtype=jnp.float32)
+        model.fit(x_train.astype(np.float32), y_train.astype(np.float32),
+                  n_inducing=cfg["n_inducing"], optimization_method="adam",
+                  max_iter=cfg["max_iter"])
+    elif path == "f64":
+        model = GPRAS("Matern52", model_type="exact", dtype=jnp.float64)
+        model.fit(x_train, y_train, optimization_method="adam",
+                  max_iter=cfg["max_iter"])
+    else:
+        raise ValueError(f"unknown accuracy path {path!r}")
+
+    mean, var = model.predict(x_test)
+    field, field_var = hf_pre.reverse_transform(
+        np.asarray(mean, np.float64), np.asarray(var, np.float64))
+    return {"field": field, "field_var": field_var,
+            "truth": prob["hf_test"],
+            "n_modes": np.asarray([hf_pre.spatial_mode_count])}
+
+
+def summarize(f32: dict[str, np.ndarray], f64: dict[str, np.ndarray]
+              ) -> dict[str, float]:
+    """Headline accuracy numbers from the two paths' predictions."""
+    truth = f32["truth"]
+
+    def rmse(a, b):
+        return float(np.sqrt(np.mean((a - b) ** 2)))
+
+    def coverage(pred, var):
+        sig = np.sqrt(np.maximum(var, 0.0))
+        return float(np.mean(np.abs(truth - pred) <= 2.0 * sig))
+
+    r32 = rmse(f32["field"], truth)
+    r64 = rmse(f64["field"], truth)
+    return {
+        "depth_rmse_f32_tpu": round(r32, 6),
+        "depth_rmse_f64_gold": round(r64, 6),
+        "depth_rmse_vs_f64": round(rmse(f32["field"], f64["field"]), 6),
+        "depth_rmse_ratio_f32_over_f64": round(r32 / max(r64, 1e-300), 4),
+        "coverage_2sigma_f32": round(coverage(f32["field"], f32["field_var"]), 4),
+        "coverage_2sigma_f64": round(coverage(f64["field"], f64["field_var"]), 4),
+    }

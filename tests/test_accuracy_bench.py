@@ -1,0 +1,49 @@
+"""Accuracy north-star machinery (gpras_tpu/accuracy.py): the f32 pipeline
+path and the f64 dense gold path agree on a tiny synthetic upskilling problem
+and produce calibrated posteriors."""
+
+import numpy as np
+
+from gpras_tpu import accuracy
+
+TINY = {
+    "n_events": 8,
+    "n_train_events": 6,
+    "t_steps": 16,
+    "n_cells_hf": 256,
+    "n_cells_lf": 64,
+    "n_inducing": 16,
+    "max_iter": 80,
+}
+
+
+def test_problem_is_deterministic():
+    a = accuracy.make_problem(TINY)
+    b = accuracy.make_problem(TINY)
+    np.testing.assert_array_equal(a["hf_train"], b["hf_train"])
+    np.testing.assert_array_equal(a["lf_test"], b["lf_test"])
+    assert a["hf_train"].shape == (96, 256)
+    assert a["hf_test"].shape == (32, 256)
+    assert np.all(a["hf_train"] >= 0)  # depths
+
+
+def test_paths_agree_and_calibrate():
+    f32 = accuracy.run_path("f32", TINY)
+    f64 = accuracy.run_path("f64", TINY)
+    s = accuracy.summarize(f32, f64)
+    assert set(s) == {
+        "depth_rmse_f32_tpu", "depth_rmse_f64_gold", "depth_rmse_vs_f64",
+        "depth_rmse_ratio_f32_over_f64", "coverage_2sigma_f32",
+        "coverage_2sigma_f64",
+    }
+    # both surrogates actually learned the map: RMSE well under the field's
+    # own scale
+    scale = float(np.std(f32["truth"]))
+    assert s["depth_rmse_f32_tpu"] < 0.5 * scale
+    assert s["depth_rmse_f64_gold"] < 0.5 * scale
+    # numerics gap between the two paths is small relative to the
+    # irreducible error itself (SGPR-m16-f32 vs dense-f64 on 6 modes)
+    assert s["depth_rmse_vs_f64"] < max(s["depth_rmse_f64_gold"], 1e-6)
+    assert 0.5 < s["depth_rmse_ratio_f32_over_f64"] < 2.0
+    assert 0.5 < s["coverage_2sigma_f32"] <= 1.0
+    assert 0.5 < s["coverage_2sigma_f64"] <= 1.0
