@@ -150,18 +150,93 @@ class RasModel:
             prj = hits[0]
         return cls(prj, assets)
 
+    def _spatial_extent(self) -> tuple[list[float] | None, dict | None]:
+        """(bbox, GeoJSON bbox polygon) from any mesh's facepoint coordinates
+        (model CRS), or (None, None) when no geometry HDF is readable."""
+        for handles in (self.geometry_hdfs, self.plan_hdfs):
+            for h in handles.values():
+                try:
+                    areas = h._h5["Geometry/2D Flow Areas"]
+                    lo = np.array([np.inf, np.inf])
+                    hi = np.array([-np.inf, -np.inf])
+                    found = False
+                    for name, grp in areas.items():
+                        if isinstance(grp, h5py.Group) \
+                                and "FacePoints Coordinate" in grp:
+                            pts = np.asarray(grp["FacePoints Coordinate"])
+                            lo = np.minimum(lo, pts.min(axis=0))
+                            hi = np.maximum(hi, pts.max(axis=0))
+                            found = True
+                    if not found:
+                        continue
+                    bbox = [float(lo[0]), float(lo[1]), float(hi[0]), float(hi[1])]
+                    ring = [[bbox[0], bbox[1]], [bbox[2], bbox[1]],
+                            [bbox[2], bbox[3]], [bbox[0], bbox[3]],
+                            [bbox[0], bbox[1]]]
+                    return bbox, {"type": "Polygon", "coordinates": [ring]}
+                except Exception:
+                    continue
+        return None, None
+
+    @staticmethod
+    def _asset_entry(name: str, path: str) -> dict[str, Any]:
+        """hecstac-style asset metadata: media type + roles from the HEC-RAS
+        filename grammar (.prj / .pNN / .gNN / .uNN / *.hdf)."""
+        suffix = Path(name).suffix.lower()
+        entry: dict[str, Any] = {"href": str(path), "title": name}
+        if suffix == ".hdf":
+            entry["type"] = "application/x-hdf"
+            stem_suffix = Path(Path(name).stem).suffix
+            if stem_suffix.startswith(".p"):
+                entry["roles"] = ["ras-plan", "results"]
+            elif stem_suffix.startswith(".g"):
+                entry["roles"] = ["ras-geometry"]
+            else:
+                entry["roles"] = ["data"]
+        elif suffix == ".prj":
+            entry["type"] = "text/plain"
+            entry["roles"] = ["project-file"]
+        elif len(suffix) == 4 and suffix[1] in "pgu" and suffix[2:].isdigit():
+            entry["type"] = "text/plain"
+            entry["roles"] = {"p": ["plan-file"], "g": ["geometry-file"],
+                              "u": ["unsteady-flow-file"]}[suffix[1]]
+        else:
+            entry["roles"] = ["data"]
+        return entry
+
     def to_stac(self, out_path: str | Path) -> None:
-        """Write a minimal STAC item json for this model (the capability of
-        production/pre_processing/make_ras_stac.py:6-13)."""
+        """Write a STAC 1.0 item json for this model — the capability of
+        production/pre_processing/make_ras_stac.py:6-13 (hecstac
+        ``RASModelItem.from_prj(...).to_file(...)``), without hecstac:
+        bbox/geometry from the mesh facepoint extent, the model projection as
+        ``proj:wkt2``, per-asset media types and hec-ras roles, and the
+        project file's mtime as the item datetime."""
+        bbox, geom = self._spatial_extent()
+        try:
+            import datetime as _dt
+
+            mtime = self.prj_path.stat().st_mtime
+            dt = _dt.datetime.fromtimestamp(
+                mtime, _dt.timezone.utc).isoformat().replace("+00:00", "Z")
+        except OSError:
+            dt = None
+        props: dict[str, Any] = {"datetime": dt}
+        extensions = []
+        if self.projection:
+            props["proj:wkt2"] = self.projection
+            extensions.append(
+                "https://stac-extensions.github.io/projection/v1.1.0/schema.json")
         item = {
             "type": "Feature",
             "stac_version": "1.0.0",
+            "stac_extensions": extensions,
             "id": self.id,
-            "geometry": None,
-            "properties": {"datetime": None},
+            "geometry": geom,
+            **({"bbox": bbox} if bbox is not None else {}),
+            "properties": props,
             "links": [],
             "assets": {
-                name: {"href": str(path), "title": name}
+                name: self._asset_entry(name, path)
                 for name, path in self.assets.items()
             },
         }
