@@ -103,6 +103,7 @@ class PosteriorPredictor:
         self.model = GPRAS.from_file(model_path)
         self.model._ensure_cache()  # factorize once at load time
         self.buckets = tuple(sorted(buckets))
+        self._decoder = None
         self.hf_pre = (PreProcessor.from_file(hf_preprocessor_path)
                        if hf_preprocessor_path else None)
         if lf_preprocessor_path:
@@ -137,14 +138,25 @@ class PosteriorPredictor:
         mean, var = self.model.predict(x)
         return mean[:n], var[:n]
 
-    def predict_field(self, lf_field: np.ndarray
+    def predict_field(self, lf_field: np.ndarray, *, device_decode: bool = True
                       ) -> tuple[np.ndarray, np.ndarray]:
         """LF cell field -> (HF field, variance) through the full chain:
-        LF transform -> GP posterior -> reverse transform with variance."""
+        LF transform -> GP posterior -> reverse transform with variance.
+
+        ``device_decode`` runs the EOF reconstruction through the jitted
+        ``make_field_decoder`` program (numerically identical to the host
+        ``reverse_transform`` — see test_serving); pass False to force the
+        reference-parity host path."""
         if self.lf_pre is None or self.hf_pre is None:
             raise RuntimeError("predict_field requires preprocessor artifacts")
         x = self.lf_pre.transform(np.asarray(lf_field))
         mean, var = self.predict_modes(x)
+        if device_decode:
+            if self._decoder is None:
+                self._decoder = field_decoder_from_preprocessor(self.hf_pre)
+            f, fv = self._decoder(np.asarray(mean, np.float64),
+                                  np.asarray(var, np.float64))
+            return np.asarray(f), np.asarray(fv)
         return self.hf_pre.reverse_transform(mean, var)
 
     def warmup(self, n_features: int | None = None) -> None:

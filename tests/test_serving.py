@@ -130,3 +130,26 @@ def test_device_field_decoder_matches_reverse_transform():
         np.testing.assert_allclose(np.asarray(dev_var), ref_var, rtol=1e-10)
         mean_only = decode(jnp.asarray(mean))
         np.testing.assert_allclose(np.asarray(mean_only), ref_mean, rtol=1e-10)
+
+
+def test_predict_field_device_decode_matches_host(tmp_path):
+    rng = np.random.default_rng(5)
+    s, c = 30, 40
+    t = np.linspace(0, 1, s)
+    field = np.outer(np.sin(2 * np.pi * t), rng.normal(size=c)) * 3 + 10
+    pre = PreProcessor(hydraulic_parameter="wse")
+    pre.fit(field, np.full(c, -50.0), spatial_mode_count=3)
+    modes = pre.transform(field)
+    model = GPRAS("RBF", dtype=jnp.float64)
+    model.fit(modes, modes, n_inducing=8, optimization_method="adam",
+              max_iter=20)
+    model.to_file(tmp_path / "gpr.npz")
+    pre.to_file(tmp_path / "pre.npz")
+    pred = PosteriorPredictor(tmp_path / "gpr.npz",
+                              hf_preprocessor_path=tmp_path / "pre.npz",
+                              lf_preprocessor_path=tmp_path / "pre.npz",
+                              buckets=(64,))
+    f_dev, v_dev = pred.predict_field(field)  # device decode (default)
+    f_host, v_host = pred.predict_field(field, device_decode=False)
+    np.testing.assert_allclose(f_dev, f_host, rtol=1e-10)
+    np.testing.assert_allclose(v_dev, v_host, rtol=1e-10)
