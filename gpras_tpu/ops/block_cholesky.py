@@ -35,9 +35,19 @@ def _i32(v):
     return jnp.asarray(v, jnp.int32)
 
 
-@partial(jax.jit, static_argnums=(1,))
-def blocked_cholesky(k: Array, b: int = 512) -> Array:
-    """Lower Cholesky factor of SPD ``k`` (N, N); N must be divisible by b."""
+@partial(jax.jit, static_argnums=(1, 2))
+def blocked_cholesky(k: Array, b: int = 512,
+                     precision: str = "high") -> Array:
+    """Lower Cholesky factor of SPD ``k`` (N, N); N must be divisible by b.
+
+    ``precision`` controls EVERY matmul in the panel solve and trailing
+    update. The panel solve goes through ``linalg.tri_inverse`` (Newton-
+    refined explicit inverse) rather than XLA's ``triangular_solve``, whose
+    TPU expansion runs internal matmuls at 1-pass bf16 regardless of caller
+    intent — measured to NaN this factorization at cond(K) ~ 1e4 while the
+    same algorithm with controlled precision tracks XLA's 'highest'-precision
+    ``cholesky`` (see tri_inverse's docstring).
+    """
     n = k.shape[0]
     if n % b != 0:
         raise ValueError(f"N={n} must be divisible by block size {b}")
@@ -53,8 +63,10 @@ def blocked_cholesky(k: Array, b: int = 512) -> Array:
         # trailing panel when f32 round-off turns the Schur complement
         # indefinite.
         l_kk = linalg.safe_cholesky(a_kk, jitter=0.0, symmetrize=False)
+        linv = linalg.tri_inverse(l_kk, precision=precision)
         col = jax.lax.dynamic_slice(kmat, (_i32(0), _i32(g0)), (n, b))
-        l_col = jax.scipy.linalg.solve_triangular(l_kk, col.T, lower=True).T
+        l_col = jnp.matmul(col, linv.T, precision=precision,
+                           preferred_element_type=kmat.dtype)
         below = (gidx >= g0 + b)[:, None]
         in_panel = ((gidx >= g0) & (gidx < g0 + b))[:, None]
         l_kk_rows = jax.lax.dynamic_update_slice(
@@ -62,7 +74,7 @@ def blocked_cholesky(k: Array, b: int = 512) -> Array:
         new_col = jnp.where(below, l_col, jnp.where(in_panel, l_kk_rows, col))
         kmat = jax.lax.dynamic_update_slice(kmat, new_col, (_i32(0), _i32(g0)))
         col_masked = jnp.where(below, new_col, 0.0)
-        return kmat - jnp.matmul(col_masked, col_masked.T,
+        return kmat - jnp.matmul(col_masked, col_masked.T, precision=precision,
                                  preferred_element_type=kmat.dtype)
 
     k_done = jax.lax.fori_loop(0, nb, step, k)
@@ -122,14 +134,13 @@ def super_cholesky(k: Array, w: int = 4096, strip: int = 8192,
         precision = "default" if precision else "highest"
     prec = precision
     inner_b = fit_block(w, 512)
-    eye_w = jnp.eye(w, dtype=k.dtype)
     for i in range(s):
         g0 = i * w
         diag = jax.lax.slice(k, (g0, g0), (g0 + w, g0 + w))
         # symmetrize_input=False: the strip updates only maintain the lower
         # triangle (upper holds stale values), and lax's default symmetrize
         # would average the garbage in.
-        l11 = blocked_cholesky(diag, inner_b) if w > inner_b \
+        l11 = blocked_cholesky(diag, inner_b, prec) if w > inner_b \
             else linalg.safe_cholesky(diag, jitter=0.0, symmetrize=False)
         k = jax.lax.dynamic_update_slice(k, l11, (_i32(g0), _i32(g0)))
         t = n - g0 - w
@@ -137,7 +148,9 @@ def super_cholesky(k: Array, w: int = 4096, strip: int = 8192,
             continue
         a21 = jax.lax.slice(k, (g0 + w, g0), (n, g0 + w))  # (t, w)
         if inv_panel:
-            linv = jax.scipy.linalg.solve_triangular(l11, eye_w, lower=True)
+            # Newton-refined inverse: XLA's triangular_solve would seed the
+            # panel with 1-pass-bf16-level error (see linalg.tri_inverse)
+            linv = linalg.tri_inverse(l11, precision=prec)
             l21 = jnp.matmul(a21, linv.T, precision=prec,
                              preferred_element_type=k.dtype)
         else:
@@ -157,11 +170,14 @@ def super_cholesky(k: Array, w: int = 4096, strip: int = 8192,
     return jnp.tril(k) if zero_upper else k
 
 
-@partial(jax.jit, static_argnums=(2,))
-def blocked_solve_lower(l: Array, rhs: Array, b: int = 512) -> Array:
+@partial(jax.jit, static_argnums=(2, 3))
+def blocked_solve_lower(l: Array, rhs: Array, b: int = 512,
+                        precision: str = "high") -> Array:
     """Forward substitution L y = rhs with the same flat-compile structure:
     a fori_loop whose body solves one b-row panel and applies one masked
-    full-width correction."""
+    full-width correction. All matmuls (corrections + the panel solve, done
+    as tri_inverse x rhs) run at ``precision`` — XLA's triangular_solve and
+    the bare ``@`` would both drop to 1-pass bf16 on TPU."""
     n = l.shape[0]
     if n % b != 0:
         raise ValueError(f"N={n} must be divisible by block size {b}")
@@ -175,16 +191,19 @@ def blocked_solve_lower(l: Array, rhs: Array, b: int = 512) -> Array:
         l_kk = jax.lax.dynamic_slice(panel, (_i32(0), _i32(g0)), (b, b))
         panel_left = jnp.where(cols[None, :] < g0, panel, 0.0)
         rhs_panel = jax.lax.dynamic_slice(rhs, (_i32(g0), _i32(0)), (b, m))
-        corr = panel_left @ y
-        y_kb = jax.scipy.linalg.solve_triangular(l_kk, rhs_panel - corr,
-                                                 lower=True)
+        corr = jnp.matmul(panel_left, y, precision=precision,
+                          preferred_element_type=y.dtype)
+        linv = linalg.tri_inverse(l_kk, precision=precision)
+        y_kb = jnp.matmul(linv, rhs_panel - corr, precision=precision,
+                          preferred_element_type=y.dtype)
         return jax.lax.dynamic_update_slice(y, y_kb, (_i32(g0), _i32(0)))
 
     return jax.lax.fori_loop(0, nb, step, jnp.zeros_like(rhs))
 
 
-@partial(jax.jit, static_argnums=(2,))
-def blocked_solve_upper(l: Array, rhs: Array, b: int = 512) -> Array:
+@partial(jax.jit, static_argnums=(2, 3))
+def blocked_solve_upper(l: Array, rhs: Array, b: int = 512,
+                        precision: str = "high") -> Array:
     """Backward substitution L^T x = rhs (bottom-up panels)."""
     n = l.shape[0]
     if n % b != 0:
@@ -199,10 +218,12 @@ def blocked_solve_upper(l: Array, rhs: Array, b: int = 512) -> Array:
         col = jax.lax.dynamic_slice(l, (_i32(0), _i32(g0)), (n, b))
         l_kk = jax.lax.dynamic_slice(col, (_i32(g0), _i32(0)), (b, b))
         col_below = jnp.where((rows >= g0 + b)[:, None], col, 0.0)
-        corr = col_below.T @ x
+        corr = jnp.matmul(col_below.T, x, precision=precision,
+                          preferred_element_type=x.dtype)
         rhs_panel = jax.lax.dynamic_slice(rhs, (_i32(g0), _i32(0)), (b, m))
-        x_kb = jax.scipy.linalg.solve_triangular(l_kk, rhs_panel - corr,
-                                                 lower=True, trans=1)
+        linv = linalg.tri_inverse(l_kk, precision=precision)
+        x_kb = jnp.matmul(linv.T, rhs_panel - corr, precision=precision,
+                          preferred_element_type=x.dtype)
         return jax.lax.dynamic_update_slice(x, x_kb, (_i32(g0), _i32(0)))
 
     return jax.lax.fori_loop(0, nb, step, jnp.zeros_like(rhs))
@@ -216,12 +237,13 @@ def fit_block(n: int, target: int = 512) -> int:
     return b
 
 
-def blocked_cho_solve(l: Array, rhs: Array, b: int = 512) -> Array:
+def blocked_cho_solve(l: Array, rhs: Array, b: int = 512,
+                      precision: str = "high") -> Array:
     """(L L^T)^{-1} rhs using the flat-compile panel solves.
 
     ``b`` is a target: it is shrunk to the largest divisor of N <= b."""
     b = fit_block(l.shape[0], b)
     rhs2 = rhs[:, None] if rhs.ndim == 1 else rhs
-    y = blocked_solve_lower(l, rhs2, b)
-    x = blocked_solve_upper(l, y, b)
+    y = blocked_solve_lower(l, rhs2, b, precision)
+    x = blocked_solve_upper(l, y, b, precision)
     return x[:, 0] if rhs.ndim == 1 else x

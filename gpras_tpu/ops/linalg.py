@@ -117,6 +117,36 @@ def _safe_cholesky_bwd(max_tries, jitter, symmetrize, res, lbar):
 _safe_cholesky.defvjp(_safe_cholesky_fwd, _safe_cholesky_bwd)
 
 
+def tri_inverse(l: Array, *, precision: str = "high",
+                newton_steps: int = 2) -> Array:
+    """Lower-triangular inverse with CONTROLLED MXU matmul precision.
+
+    XLA's TPU ``triangular_solve`` expander runs its internal block matmuls at
+    the hardware default precision — one bf16 pass. Measured consequence
+    (N=16384 Matern52 noise sweep, /tmp exp in docs/PERFORMANCE.md): every
+    blocked-Cholesky variant built on those solves NaNs at cond(K) ~ 1e4,
+    while XLA's own ``cholesky`` (internally 'highest') survives to ~1e6+.
+
+    This routine seeds from the XLA solve and Newton-refines
+    ``X <- X + X(I - L X)`` with matmuls at ``precision``: each step squares
+    the residual (bf16's ~1e-2 -> 1e-4 -> 1e-8), so two steps reach f32
+    accuracy for ~4 extra (n, n) matmuls — negligible against the O(N^3)
+    factorization they protect.
+    """
+    n = l.shape[-1]
+    eye = jnp.eye(n, dtype=l.dtype)
+    l = jnp.tril(l)  # the refinement matmuls read the full matrix
+    x = jax.scipy.linalg.solve_triangular(l, eye, lower=True)
+    for _ in range(newton_steps):
+        r = eye - jnp.matmul(l, x, precision=precision,
+                             preferred_element_type=l.dtype)
+        x = x + jnp.matmul(x, r, precision=precision,
+                           preferred_element_type=l.dtype)
+        # keep strictly-upper roundoff from leaking into later products
+        x = jnp.tril(x)
+    return x
+
+
 def solve_triangular(l: Array, b: Array, *, lower: bool = True, trans: bool = False) -> Array:
     """Triangular solve; thin wrapper so call sites read like the math."""
     return jax.scipy.linalg.solve_triangular(l, b, lower=lower, trans=1 if trans else 0)

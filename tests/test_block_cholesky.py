@@ -88,3 +88,41 @@ def test_super_cholesky_bad_width_raises():
 
     with pytest.raises(ValueError):
         super_cholesky(make_spd(), 7)
+
+
+def test_tri_inverse_matches_inv():
+    from gpras_tpu.ops import linalg
+
+    rng = np.random.default_rng(3)
+    a = rng.normal(size=(48, 48))
+    l = np.linalg.cholesky(a @ a.T + 48 * np.eye(48))
+    got = np.asarray(linalg.tri_inverse(jnp.asarray(l)))
+    np.testing.assert_allclose(got, np.linalg.inv(l), rtol=1e-9, atol=1e-9)
+    assert np.allclose(np.triu(got, 1), 0.0)
+    # stale upper-triangle values must not leak into the result
+    garbage = np.triu(np.full((48, 48), 1e6), 1)
+    got2 = np.asarray(linalg.tri_inverse(jnp.asarray(l + garbage)))
+    np.testing.assert_allclose(got2, got, rtol=1e-12)
+
+
+def test_blocked_engines_survive_high_condition_f32():
+    """cond(K) ~ 3e5 in float32: XLA's cholesky survives this easily; the
+    blocked engines must too (they NaN'd at cond ~1e4 before the
+    controlled-precision panel solves — measured on TPU, exercised here in
+    f32 on CPU)."""
+    from gpras_tpu.ops.block_cholesky import super_cholesky
+
+    rng = np.random.default_rng(0)
+    n = 512
+    x = rng.normal(size=(n, 3))
+    d2 = ((x[:, None, :] - x[None, :, :]) ** 2).sum(-1)
+    k = np.exp(-0.5 * d2 / 4.0) + 2e-4 * np.eye(n)
+    k32 = jnp.asarray(k, jnp.float32)
+    for fn in (lambda: blocked_cholesky(k32, 64),
+               lambda: super_cholesky(k32, 128, 256, "high")):
+        got = np.tril(np.asarray(fn(), np.float64))
+        assert np.all(np.isfinite(got))
+        # factor quality = reconstruction error (elementwise comparison of
+        # tiny trailing pivots is meaningless at this conditioning)
+        recon = np.abs(got @ got.T - k).max()
+        assert recon < 1e-5 * np.abs(k).max(), recon
