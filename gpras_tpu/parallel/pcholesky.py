@@ -67,9 +67,16 @@ def _dupdate(arr, update, starts):
     return jax.lax.dynamic_update_slice(arr, update, tuple(_i32(s) for s in starts))
 
 
-def dist_cholesky_local(k_local: Array, b: int, axis: str = "i") -> Array:
+def dist_cholesky_local(k_local: Array, b: int, axis: str = "i",
+                        precision: str = "high") -> Array:
     """Body run per-device under shard_map: k_local is this device's (nr, N)
-    row strip of the SPD matrix; returns its strip of the lower factor."""
+    row strip of the SPD matrix; returns its strip of the lower factor.
+
+    Every matmul (panel solve via ``tri_inverse`` + trailing update) runs at
+    an explicit ``precision`` — the TPU default (1-pass bf16) NaNs blocked
+    factorizations at cond(K) ~1e4 (see ops/linalg.tri_inverse)."""
+    from gpras_tpu.ops import linalg
+
     nr, n = k_local.shape
     nb = n // b
     me = jax.lax.axis_index(axis)
@@ -86,11 +93,12 @@ def dist_cholesky_local(k_local: Array, b: int, axis: str = "i") -> Array:
             jnp.where(me == owner, panel_rows, jnp.zeros_like(panel_rows)), axis)
         a_kk = _dslice(panel, (0, g0), (b, b))
         l_kk = jnp.linalg.cholesky(a_kk)  # redundant on all devices (b x b)
+        linv = linalg.tri_inverse(l_kk, precision=precision)
 
         # local rows of the panel column: C = K[:, g0:g0+b]; L = C L_kk^-T
         c_local = _dslice(k_loc, (0, g0), (nr, b))
-        l_below = jax.scipy.linalg.solve_triangular(
-            l_kk, c_local.T, lower=True).T  # (nr, b)
+        l_below = jnp.matmul(c_local, linv.T, precision=precision,
+                             preferred_element_type=k_loc.dtype)
         below = (gidx >= g0 + b)[:, None]
         in_panel = ((gidx >= g0) & (gidx < g0 + b))[:, None]
         # owner's panel rows take L_kk; rows below take the TRSM result
@@ -103,7 +111,7 @@ def dist_cholesky_local(k_local: Array, b: int, axis: str = "i") -> Array:
         col_masked = jnp.where(below, new_col, 0.0)
         col_full = jax.lax.all_gather(col_masked, axis, axis=0, tiled=True)
         # masked full-width trailing update: columns < g0+b see only zeros
-        update = jnp.matmul(col_masked, col_full.T,
+        update = jnp.matmul(col_masked, col_full.T, precision=precision,
                             preferred_element_type=k_loc.dtype)
         return k_loc - update
 
@@ -132,7 +140,9 @@ def dist_solve_lower_local(l_local: Array, rhs: Array, b: int, axis: str = "i") 
         # contribution of already-solved rows (< g0): mask columns
         panel_left = jnp.where(jnp.arange(n)[None, :] < g0, panel, 0.0)
         rhs_panel = _dslice(rhs, (g0, 0), (b, m))
-        corr = panel_left @ y  # (b, m); y rows >= g0 are still zero
+        # (b, m); y rows >= g0 are still zero
+        corr = jnp.matmul(panel_left, y, precision="high",
+                          preferred_element_type=y.dtype)
         y_kb = jax.scipy.linalg.solve_triangular(l_kk, rhs_panel - corr, lower=True)
         return _dupdate(y, y_kb, (g0, 0))
 
@@ -164,7 +174,9 @@ def dist_solve_upper_local(l_local: Array, rhs: Array, b: int, axis: str = "i") 
         col_local = _dslice(l_local, (0, g0), (nr, b))
         col_below = jnp.where((gidx >= g0 + b)[:, None], col_local, 0.0)
         x_local = _dslice(x, (r0, 0), (nr, m))
-        corr = jax.lax.psum(col_below.T @ x_local, axis)  # (b, m)
+        corr = jax.lax.psum(
+            jnp.matmul(col_below.T, x_local, precision="high",
+                       preferred_element_type=x.dtype), axis)  # (b, m)
         rhs_panel = _dslice(rhs, (g0, 0), (b, m))
         x_kb = jax.scipy.linalg.solve_triangular(
             l_kk, rhs_panel - corr, lower=True, trans=1)

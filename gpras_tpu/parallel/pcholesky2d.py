@@ -41,6 +41,8 @@ import jax.numpy as jnp
 from jax.sharding import Mesh, PartitionSpec as P
 from jax import shard_map
 
+from gpras_tpu.ops import linalg
+
 Array = jax.Array
 
 
@@ -63,7 +65,8 @@ def _bcast(value: Array, is_owner: Array, axes) -> Array:
 
 
 def dist_cholesky_2d_local(k_local: Array, b: int,
-                           axes: tuple[str, str] = ("i", "j")) -> Array:
+                           axes: tuple[str, str] = ("i", "j"),
+                           precision: str = "high") -> Array:
     """Per-device body: ``k_local`` is this device's (nr, nc) contiguous tile
     of the SPD matrix; returns its tile of the lower factor (upper zeroed)."""
     ai, aj = axes
@@ -91,9 +94,10 @@ def dist_cholesky_2d_local(k_local: Array, b: int,
         a_kk = _bcast(_dslice(col_strip, (loc_r, 0), (b, b)),
                       mi == owner_i, ai)
         l_kk = jnp.linalg.cholesky(a_kk)
+        linv = linalg.tri_inverse(l_kk, precision=precision)
         # 3. local rows of the panel column: L = C L_kk^-T
-        l_col = jax.scipy.linalg.solve_triangular(
-            l_kk, col_strip.T, lower=True).T  # (nr, b)
+        l_col = jnp.matmul(col_strip, linv.T, precision=precision,
+                           preferred_element_type=k_loc.dtype)  # (nr, b)
         below = (gidx_r >= g0 + b)[:, None]
         in_panel = ((gidx_r >= g0) & (gidx_r < g0 + b))[:, None]
         l_kk_rows = _dupdate(jnp.zeros((nr, b), k_loc.dtype), l_kk, (loc_r, 0))
@@ -106,7 +110,7 @@ def dist_cholesky_2d_local(k_local: Array, b: int,
         col_masked = jnp.where(below, new_col, 0.0)
         col_full = jax.lax.all_gather(col_masked, ai, axis=0, tiled=True)
         row_piece = _dslice(col_full, (mj * nc, 0), (nc, b))  # (nc, b)
-        update = jnp.matmul(col_masked, row_piece.T,
+        update = jnp.matmul(col_masked, row_piece.T, precision=precision,
                             preferred_element_type=k_loc.dtype)
         return k_loc - update
 
@@ -138,7 +142,8 @@ def dist_solve_lower_2d_local(l_local: Array, rhs: Array, b: int,
         row_strip = _dslice(l_local, (loc_r, 0), (b, nc))  # L[g0:g0+b, my cols]
         row_left = jnp.where(gidx_c[None, :] < g0, row_strip, 0.0)
         y_cols = _dslice(y, (mj * nc, 0), (nc, m))
-        partial = jnp.matmul(row_left, y_cols, preferred_element_type=y.dtype)
+        partial = jnp.matmul(row_left, y_cols, precision="high",
+                             preferred_element_type=y.dtype)
         corr = _bcast(partial, mi == owner_i, (ai, aj))  # (b, m), summed over j
         l_kk = _bcast(_dslice(l_local, (loc_r, loc_c), (b, b)),
                       (mi == owner_i) & (mj == owner_j), (ai, aj))
@@ -171,7 +176,8 @@ def dist_solve_upper_2d_local(l_local: Array, rhs: Array, b: int,
         col_strip = _dslice(l_local, (0, loc_c), (nr, b))  # L[my rows, g0:g0+b]
         col_below = jnp.where((gidx_r >= g0 + b)[:, None], col_strip, 0.0)
         x_rows = _dslice(x, (mi * nr, 0), (nr, m))
-        partial = jnp.matmul(col_below.T, x_rows, preferred_element_type=x.dtype)
+        partial = jnp.matmul(col_below.T, x_rows, precision="high",
+                             preferred_element_type=x.dtype)
         corr = _bcast(partial, mj == owner_j, (ai, aj))  # (b, m), summed over i
         l_kk = _bcast(_dslice(l_local, (loc_r, loc_c), (b, b)),
                       (mi == owner_i) & (mj == owner_j), (ai, aj))
