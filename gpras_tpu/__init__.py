@@ -20,6 +20,30 @@ Host-side I/O (HEC-RAS HDF5, flow/plan text files, parquet DBs) stays on CPU in
 
 __version__ = "0.1.0"
 
+
+def _set_numerics_policy() -> None:
+    """Default every unannotated matmul to MXU ``high`` precision (bf16_3x,
+    f32-equivalent accumulation).
+
+    On TPU the hardware default is ONE bf16 pass (2^-8 epsilon) — measured to
+    poison Schur complements, SGPR ELBO terms, and posterior means at the
+    1e-2 relative level (docs/PERFORMANCE.md, "bf16-default poisoning").
+    Hot paths that have been profiled carry explicit ``precision=`` already;
+    this policy protects everything else. A user who wants raw bf16 speed can
+    re-set ``jax_default_matmul_precision`` after importing gpras_tpu; a
+    value already set before import is respected. No-op off-TPU.
+    """
+    import jax
+
+    try:
+        if jax.config.jax_default_matmul_precision is None:
+            jax.config.update("jax_default_matmul_precision", "high")
+    except Exception:  # never block import over a numerics preference
+        pass
+
+
+_set_numerics_policy()
+
 __all__ = ["GPRAS", "PreProcessor", "HmsPreProcessor", "__version__"]
 
 _LAZY = {
