@@ -50,6 +50,56 @@ def _make_data(n: int, d: int, dtype):
     return jnp.asarray(x, dtype), jnp.asarray(y, dtype)
 
 
+def _make_robust_step(kernel: str, x, y, n: int, opt):
+    """The production large-N training step: Hutchinson stochastic-trace loss
+    over the in-place super-panel factorization, a GPyTorch-style noise floor,
+    and AMP-style non-finite step rejection (revert to the last good iterate).
+    State: (params, opt_state, good_params, good_opt, key)."""
+    import math
+
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from gpras_tpu.gp.exact_stochastic import make_hutchinson_training_loss
+
+    chol = os.environ.get("GPRAS_BENCH_CHOL", "super" if n >= 32768 else "xla")
+    # strip temporaries are O(N * strip); at 49k the factor alone is
+    # ~9.7 GB of the 16 GB HBM, so narrow the strips there (narrow strips
+    # also waste less of the strip's own upper triangle: measured 10.2 s
+    # at strip=4096 vs 11.5 s at 12288 for the 10-step fit at N=49152).
+    strip = int(os.environ.get("GPRAS_BENCH_STRIP",
+                               16384 if n <= 32768 else 4096))
+    # w=1024 beats 2048 at large N (9.5 vs 10.2 s at 49152; 4.14 vs
+    # 4.58 s at 32768): the slow inner-diagonal factorization shrinks
+    # faster than the panel-solve count grows.
+    chol_w = int(os.environ.get("GPRAS_BENCH_CHOL_W",
+                                2048 if n < 32768 else 1024))
+    h_loss = make_hutchinson_training_loss(
+        kernel, probes=16, col_panel=4096, chol=chol, chol_strip=strip,
+        chol_w=chol_w)
+    log_floor = math.log(float(os.environ.get("GPRAS_BENCH_NOISE_FLOOR",
+                                              "1e-4")))
+
+    @jax.jit
+    def step(p, opt_state, good_p, good_opt, key):
+        key, sub = jax.random.split(key)
+        loss, grads = jax.value_and_grad(h_loss)(p, x, y, sub)
+        finite = jnp.isfinite(loss)
+        for g in jax.tree.leaves(grads):
+            finite = finite & jnp.all(jnp.isfinite(g))
+        updates, opt_next = opt.update(grads, opt_state, p)
+        p_next = optax.apply_updates(p, updates)
+        p_next["log_noise_variance"] = jnp.maximum(
+            p_next["log_noise_variance"], jnp.asarray(log_floor, x.dtype))
+        pick = lambda a, b: jax.tree.map(
+            lambda u, v: jnp.where(finite, u, v), a, b)
+        return (pick(p_next, good_p), pick(opt_next, good_opt),
+                pick(p, good_p), pick(opt_state, good_opt), loss, finite, key)
+
+    return step
+
+
 def bench_exact_fit(n: int, steps: int = 10, d: int = 8) -> float:
     """Seconds for `steps` jitted Adam steps on the exact-GP loss at size n."""
     import jax
@@ -61,7 +111,9 @@ def bench_exact_fit(n: int, steps: int = 10, d: int = 8) -> float:
     kernel = "Matern52"
     x, y = _make_data(n, d, jnp.float32)
     params = exact.init_params(kernel, x, noise_variance=0.1)
-    opt = optax.adam(0.05)
+    # 0.02 converges clean at 49k with the noise floor + step rejection
+    # (lr 0.05 was the round-1 10-step setting; it NaN'd past ~20 steps)
+    opt = optax.adam(float(os.environ.get("GPRAS_BENCH_LR", "0.02")))
     mode = os.environ.get("GPRAS_BENCH_MODE", "auto")
     if mode == "auto":
         # Hutchinson (BBMM-style) stochastic-trace backward is the standard
@@ -96,31 +148,11 @@ def bench_exact_fit(n: int, steps: int = 10, d: int = 8) -> float:
             p = optax.apply_updates(p, updates)
             return p, opt_state, loss, key
     elif mode == "hutchinson":
-        # BBMM-style stochastic-trace backward: O(N^2) gradients
-        from gpras_tpu.gp.exact_stochastic import make_hutchinson_training_loss
+        h_step = _make_robust_step(kernel, x, y, n, opt)
 
-        chol = os.environ.get("GPRAS_BENCH_CHOL", "super" if n >= 32768 else "xla")
-        # strip temporaries are O(N * strip); at 49k the factor alone is
-        # ~9.7 GB of the 16 GB HBM, so narrow the strips there (narrow strips
-        # also waste less of the strip's own upper triangle: measured 10.2 s
-        # at strip=4096 vs 11.5 s at 12288 for the 10-step fit at N=49152).
-        strip = int(os.environ.get("GPRAS_BENCH_STRIP",
-                                   16384 if n <= 32768 else 4096))
-        # w=1024 beats 2048 at large N (9.5 vs 10.2 s at 49152; 4.14 vs
-        # 4.58 s at 32768): the slow inner-diagonal factorization shrinks
-        # faster than the panel-solve count grows.
-        chol_w = int(os.environ.get("GPRAS_BENCH_CHOL_W",
-                                    2048 if n < 32768 else 1024))
-        h_loss = make_hutchinson_training_loss(
-            kernel, probes=16, col_panel=4096, chol=chol, chol_strip=strip,
-            chol_w=chol_w)
-
-        @jax.jit
         def step(p, opt_state, key):
-            key, sub = jax.random.split(key)
-            loss, grads = jax.value_and_grad(h_loss)(p, x, y, sub)
-            updates, opt_state = opt.update(grads, opt_state, p)
-            p = optax.apply_updates(p, updates)
+            p, opt_state, _, _, loss, _, key = h_step(
+                p, opt_state, p, opt_state, key)
             return p, opt_state, loss, key
     else:
         # panel-scan exact backward: O(N*R) extra memory, compile-friendly
@@ -161,6 +193,110 @@ def bench_exact_fit(n: int, steps: int = 10, d: int = 8) -> float:
     if not np.isfinite(final_loss):
         raise RuntimeError(f"non-finite loss at n={n}")
     return elapsed
+
+
+def bench_converged_fit(n: int, d: int = 8) -> dict:
+    """Converged exact-GP fit at ``n`` under the reference's own early-stop
+    semantics (rel-tol 1e-5 / patience 50, gpras/gpr.py:162-173), plus a
+    hierarchical warm-started fit timed to the SAME converged loss.
+
+    Protocol (all device-synced, one scalar fetch per step):
+    1. ``converged_fit``: Adam (lr GPRAS_BENCH_LR) from standard init, host
+       loop applying the reference stopping rule; records wall-clock, steps,
+       and the converged loss L*.
+    2. ``fit_to_convergence``: stage A = fully-jitted converged dense fit on
+       a uniform N/12 subsample (same lr/stopping rule, on device); stage B =
+       full-N steps from stage-A params until the loss enters the reference's
+       own tolerance band around L* (<= L* + 1e-5|L*|). The headline is
+       stage-A warm wall-clock + stage-B wall-clock — the time a user waits
+       for a *converged* 49k fit with warm compile caches.
+    """
+    import math
+
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from gpras_tpu.fit import optimizers as fitters
+    from gpras_tpu.gp import exact
+
+    kernel = "Matern52"
+    lr = float(os.environ.get("GPRAS_BENCH_LR", "0.02"))
+    tol, patience = 1e-5, 50
+    max_steps = int(os.environ.get("GPRAS_BENCH_MAX_STEPS", "700"))
+    x, y = _make_data(n, d, jnp.float32)
+    params0 = exact.init_params(kernel, x, noise_variance=0.1)
+    opt = optax.adam(lr)
+    step = _make_robust_step(kernel, x, y, n, opt)
+
+    def run_to(params, stop_loss=None, max_iter=max_steps):
+        """Host loop with the reference stopping rule; returns
+        (seconds, steps, best_loss, hit_seconds_or_None)."""
+        opt_state = opt.init(params)
+        good_p, good_opt = params, opt_state
+        key = jax.random.PRNGKey(0)
+        state = (params, opt_state, good_p, good_opt, key)
+        # warmup executes one step and syncs (compile hits the on-disk cache)
+        *state_rest, loss, finite, key = step(*state)
+        state = (*state_rest, key)
+        best = float(loss)
+        if not np.isfinite(best):
+            raise RuntimeError("non-finite warmup loss")
+        count, hit = 0, None
+        t0 = time.perf_counter()
+        for i in range(1, max_iter + 1):
+            *state_rest, loss, finite, key = step(*state)
+            state = (*state_rest, key)
+            lv = float(loss)
+            if not bool(finite):
+                count += 1
+            elif (best - lv) / abs(lv) > tol:
+                best, count = lv, 0
+            else:
+                count += 1
+            if hit is None and stop_loss is not None \
+                    and lv <= stop_loss + tol * abs(stop_loss):
+                hit = time.perf_counter() - t0
+                break  # target reached: the hierarchical clock stops here
+            if count > patience:
+                break
+        return time.perf_counter() - t0, i, best, hit
+
+    # 1. reference-semantics converged fit from standard init
+    conv_s, conv_steps, l_star, _ = run_to(params0)
+
+    # 2. hierarchical: converged subsample fit (on device) + full-N polish
+    n_sub = max(2048, n // 12)
+    stride = max(1, n // n_sub)
+    x_sub, y_sub = x[::stride], y[::stride]
+    a_loss = lambda pp: exact.training_loss(kernel, pp, x_sub, y_sub)
+    log_floor = math.log(float(os.environ.get("GPRAS_BENCH_NOISE_FLOOR",
+                                              "1e-4")))
+    fit_a = jax.jit(lambda pp: fitters.adam_fit(
+        a_loss, pp, max_iter=1000, learning_rate=lr,
+        lower_bounds={"log_noise_variance": log_floor},
+        reject_nonfinite=True))
+    p_a, info_a = fit_a(params0)
+    int(info_a["iterations"])  # sync (compile)
+    t0 = time.perf_counter()
+    p_a, info_a = fit_a(params0)
+    int(info_a["iterations"])
+    warm_s = time.perf_counter() - t0
+    polish_s, polish_steps, _, hit = run_to(p_a, stop_loss=l_star,
+                                            max_iter=200)
+    out = {
+        "converged_fit_seconds": round(conv_s, 3),
+        "converged_fit_steps": conv_steps,
+        "converged_loss": round(l_star, 2),
+        "warmstart_seconds": round(warm_s, 3),
+    }
+    if hit is not None:
+        out["fit_to_convergence_seconds"] = round(warm_s + hit, 3)
+        out["fit_to_convergence_polish_steps"] = polish_steps
+    else:  # target not reached in budget: fall back to the full fit number
+        out["fit_to_convergence_seconds"] = round(conv_s, 3)
+        out["fit_to_convergence_polish_steps"] = -1
+    return out
 
 
 def bench_predict_throughput(n: int = 4096, m: int = 128, p_modes: int = 16,
@@ -272,9 +408,18 @@ def bench_field_throughput(n: int = 4096, m: int = 128, p_modes: int = 50,
 
 
 def _run_single(n: int, steps: int) -> None:
-    """Subprocess entry: bench one size, print elapsed seconds on stdout."""
+    """Subprocess entry: bench one size, print elapsed seconds on stdout.
+    With GPRAS_BENCH_CONVERGED=1 also runs the converged + hierarchical fit
+    protocol (bench_converged_fit) and prints it as a CONVERGED json line."""
     elapsed = bench_exact_fit(n, steps=steps)
     print(f"ELAPSED {elapsed:.6f}")
+    if os.environ.get("GPRAS_BENCH_CONVERGED", "1") == "1" \
+            and os.environ.get("GPRAS_BENCH_MODE", "auto") in ("auto",
+                                                               "hutchinson"):
+        try:
+            print("CONVERGED " + json.dumps(bench_converged_fit(n)))
+        except Exception as e:  # the 10-step headline must survive this
+            print(f"# converged-fit protocol failed: {e}", file=sys.stderr)
 
 
 def _run_accuracy(path: str, out: str) -> None:
@@ -332,6 +477,7 @@ def main() -> None:
     timeout = float(os.environ.get("GPRAS_BENCH_TIMEOUT", "2700"))
     elapsed = None
     n_used = None
+    converged: dict = {}
     for n in ladder:
         try:
             proc = subprocess.run(
@@ -342,7 +488,8 @@ def main() -> None:
                 if line.startswith("ELAPSED "):
                     elapsed = float(line.split()[1])
                     n_used = n
-                    break
+                elif line.startswith("CONVERGED "):
+                    converged = json.loads(line[len("CONVERGED "):])
             if elapsed is not None:
                 break
             print(f"# n={n} failed: {proc.stderr[-300:]}", file=sys.stderr)
@@ -362,13 +509,25 @@ def main() -> None:
     except Exception as e:
         print(f"# field bench failed: {e}", file=sys.stderr)
         field_rate = float("nan")
+    # Headline: wall-clock to a CONVERGED fit (the reference's own stopping
+    # semantics define convergence; the hierarchical warm-start reaches the
+    # same loss — see bench_converged_fit). Falls back to the 10-step number
+    # if the converged protocol failed.
+    if converged.get("fit_to_convergence_seconds"):
+        value = converged["fit_to_convergence_seconds"]
+        metric = f"exact_gp_fit_to_convergence_n{n_used}_seconds"
+    else:
+        value = elapsed
+        metric = f"exact_gp_fit_n{n_used}_{steps}adam_steps"
     result = {
-        "metric": f"exact_gp_fit_n{n_used}_{steps}adam_steps",
-        "value": round(elapsed, 4),
+        "metric": metric,
+        "value": round(value, 4),
         "unit": "seconds",
-        "vs_baseline": round(10.0 / elapsed, 3),
+        "vs_baseline": round(10.0 / value, 3),
         "n": n_used,
         "steps": steps,
+        f"adam{steps}_seconds": round(elapsed, 4),
+        **converged,
         "storm_event_predictions_per_sec": round(pred_rate, 1),
         "full_field_predictions_per_sec": round(field_rate, 1),
     }
