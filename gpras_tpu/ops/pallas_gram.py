@@ -37,8 +37,11 @@ def _tile_value(kernel: str, a, b, variance, noise,
     """Covariance tile k(a, b) from pre-scaled coordinate blocks (in VMEM)."""
     from jax.experimental import pallas as pl
 
+    # explicit precision: Mosaic rejects the package-level 'high' default
+    # (HIGHEST = full f32 passes; the contraction dim is only D, so free)
     ab = jax.lax.dot_general(a, b, dimension_numbers=(((1,), (1,)), ((), ())),
-                             preferred_element_type=jnp.float32)
+                             preferred_element_type=jnp.float32,
+                             precision=jax.lax.Precision.HIGHEST)
     a2 = jnp.sum(a * a, axis=1, keepdims=True)       # (TM, 1)
     b2 = jnp.sum(b * b, axis=1, keepdims=True).T     # (1, TN)
     r2 = jnp.maximum(a2 + b2 - 2.0 * ab, 0.0)
@@ -83,7 +86,10 @@ def _kmv_body(kernel: str, a_ref, b_ref, v_ref, var_ref, noise_ref, out_ref,
 
     k = _tile_value(kernel, a_ref[:], b_ref[:], var_ref[0, 0], noise_ref[0, 0],
                     tile_m, tile_n, square)
-    contrib = jnp.dot(k, v_ref[:], preferred_element_type=jnp.float32)
+    # HIGHEST: a bf16 contraction here would cap CG's reachable residual at
+    # ~1e-2; the kernel is transcendental-bound, so f32 passes are ~free
+    contrib = jnp.dot(k, v_ref[:], preferred_element_type=jnp.float32,
+                      precision=jax.lax.Precision.HIGHEST)
     j = pl.program_id(1)
 
     @pl.when(j == 0)
