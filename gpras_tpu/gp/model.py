@@ -189,6 +189,18 @@ class GPRAS:
         fitter = fitters.FITTERS[optimization_method]
         if optimization_method == "stochastic":
             opt_kwargs.setdefault("x", self.x)
+        if (self.model_type == "exact"
+                and jnp.dtype(self.dtype) == jnp.float32
+                and optimization_method in ("adam", "two-stage")):
+            # float32 production guards (overridable): GPyTorch-style noise
+            # floor + AMP-style non-finite step rejection — without them a
+            # large-N exact fit NaNs once Adam overshoots the conditioning
+            # the factorization can represent (docs/PERFORMANCE.md)
+            import math
+
+            opt_kwargs.setdefault("lower_bounds",
+                                  {"log_noise_variance": math.log(1e-4)})
+            opt_kwargs.setdefault("reject_nonfinite", True)
         loss = self._loss_fn
 
         def fit_one(params_i: dict[str, Array], y_i: Array):

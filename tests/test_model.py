@@ -170,3 +170,20 @@ def test_large_n_multimode_uses_sequential_map(monkeypatch):
         np.testing.assert_allclose(np.asarray(m_seq.params[k]),
                                    np.asarray(m_vm.params[k]), rtol=1e-5,
                                    err_msg=k)
+
+
+def test_exact_f32_fit_guards_injected():
+    """f32 exact fits get the production guards by default: a NaN-prone
+    problem (near-duplicate points, optimizer pushed hard) ends with finite
+    params instead of NaN."""
+    rng = np.random.default_rng(2)
+    x = np.repeat(rng.normal(size=(16, 2)), 2, axis=0)  # duplicated points
+    y = np.sin(x[:, 0])
+    m = GPRAS("RBF", model_type="exact", dtype=jnp.float32)
+    m.fit(x, y, optimization_method="adam", max_iter=300, learning_rate=0.2)
+    assert np.all(np.isfinite(np.asarray(m.fit_info["loss"])))
+    for v in m.params.values():
+        assert np.all(np.isfinite(np.asarray(v)))
+    # the floor held
+    assert np.asarray(m.params["log_noise_variance"]).ravel()[0] \
+        >= np.log(1e-4) - 1e-6
