@@ -135,6 +135,7 @@ class GPRAS:
         inducing_initializer: InductionInitializerType = "kmeans",
         optimization_method: OptimizerType = "two-stage",
         initial_params: dict[str, Array] | None = None,
+        warm_start_subsample: int = 0,
         **opt_kwargs: Any,
     ) -> None:
         """Fit one latent GP per output column of ``y``, all modes vmapped.
@@ -147,6 +148,15 @@ class GPRAS:
         or of a checkpoint loaded with ``from_file`` — enabling resumed /
         staged training across sessions (the reference's monolithic optimizer
         runs have no equivalent).
+
+        ``warm_start_subsample`` (exact backend) first runs the SAME
+        optimization on a uniform subsample of that size, then starts the
+        full-N fit from the subsample optimum. Measured at N=49k on a v5e:
+        the warm-started fit opens BELOW the loss 600 cold full-N Adam steps
+        reach, and converges (reference early-stop semantics) in ~250 steps
+        where the cold fit had not converged by 600 — subsampled
+        hyperparameter surfaces are near-identical at a fraction of the
+        per-step cost (docs/PERFORMANCE.md).
         """
         if self.model_type == "sgpr" and n_inducing <= 0:
             raise ValueError("sparse backend requires n_inducing > 0 "
@@ -171,6 +181,16 @@ class GPRAS:
         self._cg_loss = None
         self._hutch_loss = None
         self._lean_loss = None
+
+        if (warm_start_subsample > 0 and self.model_type == "exact"
+                and initial_params is None
+                and self.x.shape[0] > warm_start_subsample):
+            stride = max(1, self.x.shape[0] // warm_start_subsample)
+            warm = GPRAS(self.kernel_str, model_type="exact",
+                         dtype=self.dtype, exact_engine=self.exact_engine)
+            warm.fit(self.x[::stride], self.y[::stride],
+                     optimization_method=optimization_method, **opt_kwargs)
+            initial_params = warm.params
 
         if initial_params is not None:
             lead = jax.tree.leaves(initial_params)[0].shape[0]

@@ -187,3 +187,23 @@ def test_exact_f32_fit_guards_injected():
     # the floor held
     assert np.asarray(m.params["log_noise_variance"]).ravel()[0] \
         >= np.log(1e-4) - 1e-6
+
+
+def test_warm_start_subsample_exact():
+    """warm_start_subsample first fits on a uniform subsample, then the full
+    set from those params; the result should be at least as good as a cold
+    short fit of the same budget."""
+    rng = np.random.default_rng(4)
+    n = 256
+    x = rng.normal(size=(n, 2))
+    y = np.sin(2 * x[:, 0]) + 0.05 * rng.normal(size=n)
+    cold = GPRAS("RBF", model_type="exact", dtype=jnp.float64)
+    cold.fit(x, y, optimization_method="adam", max_iter=40)
+    warm = GPRAS("RBF", model_type="exact", dtype=jnp.float64)
+    warm.fit(x, y, optimization_method="adam", max_iter=40,
+             warm_start_subsample=64)
+    assert float(np.asarray(warm.fit_info["loss"]).ravel()[0]) <= \
+        float(np.asarray(cold.fit_info["loss"]).ravel()[0]) + 1e-6
+    # predictions still work end-to-end
+    mean, var = warm.predict(x[:10])
+    assert np.all(np.isfinite(mean)) and np.all(np.asarray(var) >= 0)
