@@ -49,44 +49,76 @@ def _noise_plus_jitter(params, dtype):
 
 
 def dist_nlml_forward(mesh: Mesh, kernel: str, params: dict[str, Array],
-                      x: Array, y: Array, b: int = 128):
+                      x: Array, y: Array, b: int = 128,
+                      layout: str = "1d"):
     """(nlml, (l, alpha)) with the factor left sharded on the mesh.
 
     ``y`` must be a single output column (N,): the logdet and constant terms
     are counted once (for multi-mode models, vmap/lax.map over modes — see
     GPRAS.fit — rather than passing an (N, P) matrix, which would silently
     drop P-1 logdet terms).
+
+    ``layout`` selects the sharding: ``"1d"`` row strips over axis "i"
+    (pcholesky.py) or ``"2d"`` P(i, j) tiles over a 2-D mesh
+    (pcholesky2d.py — the BASELINE configs[4] layout; requires mesh axes
+    "i" and "j").
     """
     if y.ndim != 1:
         raise ValueError(f"dist_nlml expects y of shape (N,), got {y.shape}; "
                          "map over output modes instead")
     n = x.shape[0]
-    k = pgram_rows(mesh, kernel, params, x, noise=_noise_plus_jitter(params, x.dtype))
-    l = dist_cholesky(mesh, k, b=b)
-    alpha = dist_cho_solve(mesh, l, y, b=b)
+    noise = _noise_plus_jitter(params, x.dtype)
+    if layout == "2d":
+        from gpras_tpu.parallel.pcholesky2d import (dist_cho_solve_2d,
+                                                    dist_cholesky_2d,
+                                                    dist_logdet_from_chol_2d)
+        from gpras_tpu.parallel.pgram import pgram_2d
+
+        k = pgram_2d(mesh, kernel, params, x, noise=noise)
+        l = dist_cholesky_2d(mesh, k, b=b)
+        alpha = dist_cho_solve_2d(mesh, l, y, b=b)
+        logdet = dist_logdet_from_chol_2d(mesh, l)
+    elif layout == "1d":
+        k = pgram_rows(mesh, kernel, params, x, noise=noise)
+        l = dist_cholesky(mesh, k, b=b)
+        alpha = dist_cho_solve(mesh, l, y, b=b)
+        logdet = dist_logdet_from_chol(mesh, l)
+    else:
+        raise ValueError(f"unknown layout {layout!r}; expected '1d' or '2d'")
     quad = 0.5 * jnp.vdot(y, alpha)
-    logdet = dist_logdet_from_chol(mesh, l)
     nlml = quad + 0.5 * logdet + 0.5 * n * math.log(2.0 * math.pi)
     return nlml, (l, alpha)
 
 
-def make_dist_nlml(mesh: Mesh, kernel: str, b: int = 128, col_batch: int = 256):
+def make_dist_nlml(mesh: Mesh, kernel: str, b: int = 128, col_batch: int = 256,
+                   layout: str = "1d"):
     """Returns ``nlml(params, x, y)`` differentiable w.r.t. params, with the
-    Cholesky-factor-reusing backward described in the module docstring."""
+    Cholesky-factor-reusing backward described in the module docstring.
+    ``layout="2d"`` runs the forward on the P(i, j)-tiled engine
+    (pcholesky2d) and the backward's solves in the same layout; the Gram-vjp
+    contraction stays row-sharded over "i" (replicated over "j", corrected
+    by 1/dj)."""
+    if layout == "2d":
+        from gpras_tpu.parallel.pcholesky2d import dist_cho_solve_2d
+        solver = lambda l, rhs: dist_cho_solve_2d(mesh, l, rhs, b=b)
+        dj = mesh.shape["j"]
+    else:
+        solver = lambda l, rhs: dist_cho_solve(mesh, l, rhs, b=b)
+        dj = 1
 
     @jax.custom_vjp
     def nlml(params, x, y):
-        return dist_nlml_forward(mesh, kernel, params, x, y, b=b)[0]
+        return dist_nlml_forward(mesh, kernel, params, x, y, b=b,
+                                 layout=layout)[0]
 
     def fwd(params, x, y):
-        out, (l, alpha) = dist_nlml_forward(mesh, kernel, params, x, y, b=b)
+        out, (l, alpha) = dist_nlml_forward(mesh, kernel, params, x, y, b=b,
+                                            layout=layout)
         return out, (params, x, y, l, alpha)
 
     def bwd(res, g):
         params, x, y, l, alpha = res
         n = x.shape[0]
-        d = mesh.shape["i"]
-        nr = n // d
         c = min(col_batch, n)
         while n % c != 0:
             c -= 1
@@ -97,7 +129,9 @@ def make_dist_nlml(mesh: Mesh, kernel: str, b: int = 128, col_batch: int = 256):
 
             Under shard_map's varying-manual-axes semantics the pullback toward
             the replicated (unvarying) ``p`` already includes the cross-device
-            psum (broadcast transposes to reduce) — do NOT psum again."""
+            psum (broadcast transposes to reduce) — do NOT psum again. On a
+            2-D mesh the operands are invariant over "j", and shard_map's
+            varying-axis tracking reduces over "i" only — no extra factor."""
             _, pullback = jax.vjp(lambda pp: K.gram(kernel, pp, x_rows, x_cols), p)
             (grads,) = pullback(kbar_tile)
             return grads
@@ -113,7 +147,7 @@ def make_dist_nlml(mesh: Mesh, kernel: str, b: int = 128, col_batch: int = 256):
             # identity columns [j*c, (j+1)*c)
             cols = j * c + jnp.arange(c)
             eye_cols = (jnp.arange(n)[:, None] == cols[None, :]).astype(x.dtype)
-            z = dist_cho_solve(mesh, l, eye_cols, b=b)  # (N, c) = K^{-1} cols
+            z = solver(l, eye_cols)  # (N, c) = K^{-1} cols
             alpha_cols = alpha[cols]
             kbar_cols = 0.5 * g * (z - alpha[:, None] * alpha_cols[None, :])
             # diagonal contribution (for the noise/jitter term)

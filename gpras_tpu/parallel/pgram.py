@@ -54,20 +54,29 @@ def pgram_rows(mesh: Mesh, kernel: str, params: dict[str, Array], x: Array,
 
 
 def pgram_2d(mesh: Mesh, kernel: str, params: dict[str, Array], x: Array,
+             noise: Array | None = None,
              axes: tuple[str, str] = ("i", "j")) -> Array:
-    """K(x, x) sharded over a 2-D mesh: device (a, b) computes the tile
-    k(x_rows_a, x_cols_b). Communication-free given replicated x."""
+    """K(x, x) (+ noise * I) sharded over a 2-D mesh: device (a, b) computes
+    the tile k(x_rows_a, x_cols_b). Communication-free given replicated x;
+    the noise diagonal is added inside whichever tiles the global diagonal
+    crosses."""
     ai, aj = axes
     n = x.shape[0]
     di, dj = mesh.shape[ai], mesh.shape[aj]
     if n % di != 0 or n % dj != 0:
         raise ValueError(f"N={n} must divide by both mesh axes ({di}, {dj})")
+    nr, nc = n // di, n // dj
+    noise_arr = jnp.zeros(()) if noise is None else jnp.asarray(noise)
 
-    def body(p, x_rows, x_cols):
-        return K.gram(kernel, p, x_rows, x_cols)
+    def body(p, x_rows, x_cols, nz):
+        k_local = K.gram(kernel, p, x_rows, x_cols)  # (nr, nc)
+        gr = jax.lax.axis_index(ai) * nr + jnp.arange(nr)[:, None]
+        gc = jax.lax.axis_index(aj) * nc + jnp.arange(nc)[None, :]
+        return jnp.where(gr == gc, k_local + jnp.asarray(nz, k_local.dtype),
+                         k_local)
 
     fn = shard_map(
         body, mesh=mesh,
-        in_specs=(_replicated_like(params), P(ai, None), P(aj, None)),
+        in_specs=(_replicated_like(params), P(ai, None), P(aj, None), P()),
         out_specs=P(ai, aj))
-    return fn(params, x, x)
+    return fn(params, x, x, noise_arr)

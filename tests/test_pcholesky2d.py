@@ -89,3 +89,30 @@ def test_2d_composes_with_pgram_2d():
     kd = np.asarray(K.gram("Matern52", params, x)) + 0.1 * np.eye(N)
     np.testing.assert_allclose(np.asarray(alpha), np.linalg.solve(kd, y),
                                rtol=1e-8, atol=1e-8)
+
+
+def test_dist_nlml_2d_matches_1d_and_grads():
+    """The 2-D-layout distributed NLML (pexact layout='2d') matches the 1-D
+    value and gradients on a (4, 2) mesh."""
+    import jax
+    from gpras_tpu.gp import exact
+    from gpras_tpu.parallel.pexact import make_dist_nlml
+
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.normal(size=(N, 3)))
+    y = jnp.asarray(np.sin(np.asarray(x)[:, 0]) + 0.1 * rng.normal(size=N))
+    params = exact.init_params("Matern52", x, noise_variance=0.1)
+
+    mesh2 = make_mesh((4, 2), ("i", "j"))
+    nlml_2d = make_dist_nlml(mesh2, "Matern52", b=8, col_batch=16,
+                             layout="2d")
+    v2, g2 = jax.value_and_grad(nlml_2d)(params, x, y)
+
+    mesh1 = make_mesh((8,), ("i",))
+    nlml_1d = make_dist_nlml(mesh1, "Matern52", b=8, col_batch=16)
+    v1, g1 = jax.value_and_grad(nlml_1d)(params, x, y)
+
+    np.testing.assert_allclose(float(v2), float(v1), rtol=1e-10)
+    for k in g1:
+        np.testing.assert_allclose(np.asarray(g2[k]), np.asarray(g1[k]),
+                                   rtol=1e-8, atol=1e-10)
