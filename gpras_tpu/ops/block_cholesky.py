@@ -40,13 +40,12 @@ def blocked_cholesky(k: Array, b: int = 512,
                      precision: str = "high") -> Array:
     """Lower Cholesky factor of SPD ``k`` (N, N); N must be divisible by b.
 
-    ``precision`` controls EVERY matmul in the panel solve and trailing
-    update. The panel solve goes through ``linalg.tri_inverse`` (Newton-
-    refined explicit inverse) rather than XLA's ``triangular_solve``, whose
-    TPU expansion runs internal matmuls at 1-pass bf16 regardless of caller
-    intent — measured to NaN this factorization at cond(K) ~ 1e4 while the
-    same algorithm with controlled precision tracks XLA's 'highest'-precision
-    ``cholesky`` (see tri_inverse's docstring).
+    ``precision`` controls the trailing-update matmul — the round-1 poison:
+    an unannotated ``jnp.matmul`` runs ONE bf16 pass on TPU, which NaN'd this
+    factorization at cond(K) ~ 1e4 while XLA's own ``cholesky`` survives past
+    1e6. Panel solves use XLA ``triangular_solve``, which measured BETTER
+    than f32 matmul-with-explicit-inverse (residual ~3e-7 vs ~1e-4 — forward
+    substitution is backward-stable; applying an inverse is not).
     """
     n = k.shape[0]
     if n % b != 0:
@@ -63,10 +62,8 @@ def blocked_cholesky(k: Array, b: int = 512,
         # trailing panel when f32 round-off turns the Schur complement
         # indefinite.
         l_kk = linalg.safe_cholesky(a_kk, jitter=0.0, symmetrize=False)
-        linv = linalg.tri_inverse(l_kk, precision=precision)
         col = jax.lax.dynamic_slice(kmat, (_i32(0), _i32(g0)), (n, b))
-        l_col = jnp.matmul(col, linv.T, precision=precision,
-                           preferred_element_type=kmat.dtype)
+        l_col = jax.scipy.linalg.solve_triangular(l_kk, col.T, lower=True).T
         below = (gidx >= g0 + b)[:, None]
         in_panel = ((gidx >= g0) & (gidx < g0 + b))[:, None]
         l_kk_rows = jax.lax.dynamic_update_slice(
@@ -175,9 +172,9 @@ def blocked_solve_lower(l: Array, rhs: Array, b: int = 512,
                         precision: str = "high") -> Array:
     """Forward substitution L y = rhs with the same flat-compile structure:
     a fori_loop whose body solves one b-row panel and applies one masked
-    full-width correction. All matmuls (corrections + the panel solve, done
-    as tri_inverse x rhs) run at ``precision`` — XLA's triangular_solve and
-    the bare ``@`` would both drop to 1-pass bf16 on TPU."""
+    full-width correction. The correction matmuls run at ``precision``
+    (a bare ``@`` is 1-pass bf16 on TPU — the round-1 poison); panel solves
+    use XLA triangular_solve (measured backward-stable, ~3e-7 residual)."""
     n = l.shape[0]
     if n % b != 0:
         raise ValueError(f"N={n} must be divisible by block size {b}")
@@ -193,9 +190,8 @@ def blocked_solve_lower(l: Array, rhs: Array, b: int = 512,
         rhs_panel = jax.lax.dynamic_slice(rhs, (_i32(g0), _i32(0)), (b, m))
         corr = jnp.matmul(panel_left, y, precision=precision,
                           preferred_element_type=y.dtype)
-        linv = linalg.tri_inverse(l_kk, precision=precision)
-        y_kb = jnp.matmul(linv, rhs_panel - corr, precision=precision,
-                          preferred_element_type=y.dtype)
+        y_kb = jax.scipy.linalg.solve_triangular(l_kk, rhs_panel - corr,
+                                                 lower=True)
         return jax.lax.dynamic_update_slice(y, y_kb, (_i32(g0), _i32(0)))
 
     return jax.lax.fori_loop(0, nb, step, jnp.zeros_like(rhs))
@@ -221,9 +217,8 @@ def blocked_solve_upper(l: Array, rhs: Array, b: int = 512,
         corr = jnp.matmul(col_below.T, x, precision=precision,
                           preferred_element_type=x.dtype)
         rhs_panel = jax.lax.dynamic_slice(rhs, (_i32(g0), _i32(0)), (b, m))
-        linv = linalg.tri_inverse(l_kk, precision=precision)
-        x_kb = jnp.matmul(linv.T, rhs_panel - corr, precision=precision,
-                          preferred_element_type=x.dtype)
+        x_kb = jax.scipy.linalg.solve_triangular(l_kk, rhs_panel - corr,
+                                                 lower=True, trans=1)
         return jax.lax.dynamic_update_slice(x, x_kb, (_i32(g0), _i32(0)))
 
     return jax.lax.fori_loop(0, nb, step, jnp.zeros_like(rhs))

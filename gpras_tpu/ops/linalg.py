@@ -119,19 +119,18 @@ _safe_cholesky.defvjp(_safe_cholesky_fwd, _safe_cholesky_bwd)
 
 def tri_inverse(l: Array, *, precision: str = "high",
                 newton_steps: int = 2) -> Array:
-    """Lower-triangular inverse with CONTROLLED MXU matmul precision.
+    """Explicit lower-triangular inverse, Newton-refined at ``precision``.
 
-    XLA's TPU ``triangular_solve`` expander runs its internal block matmuls at
-    the hardware default precision — one bf16 pass. Measured consequence
-    (N=16384 Matern52 noise sweep, /tmp exp in docs/PERFORMANCE.md): every
-    blocked-Cholesky variant built on those solves NaNs at cond(K) ~ 1e4,
-    while XLA's own ``cholesky`` (internally 'highest') survives to ~1e6+.
-
-    This routine seeds from the XLA solve and Newton-refines
-    ``X <- X + X(I - L X)`` with matmuls at ``precision``: each step squares
-    the residual (bf16's ~1e-2 -> 1e-4 -> 1e-8), so two steps reach f32
-    accuracy for ~4 extra (n, n) matmuls — negligible against the O(N^3)
-    factorization they protect.
+    Used where applying an explicit inverse by MXU matmul is the SPEED choice
+    over a triangular solve (TPU TRSM runs ~23 TF/s vs 48 TF/s for bf16_3x
+    matmul — ``super_cholesky``'s panel solve multiplies a (t, w) block by
+    the same (w, w) inverse). Numerics: XLA's ``triangular_solve`` itself is
+    backward-stable (measured ~3e-7 f32 residual — prefer it when speed is
+    equal); inverse-application is not (measured ~1e-4 residual at
+    cond ~ 1e5), so the Newton refinement ``X <- X + X(I - L X)`` at
+    controlled precision keeps the inverse operator f32-accurate, and the
+    factorization quality it feeds was validated against XLA's cholesky to
+    the f32 conditioning wall (docs/PERFORMANCE.md).
     """
     n = l.shape[-1]
     eye = jnp.eye(n, dtype=l.dtype)

@@ -72,11 +72,10 @@ def dist_cholesky_local(k_local: Array, b: int, axis: str = "i",
     """Body run per-device under shard_map: k_local is this device's (nr, N)
     row strip of the SPD matrix; returns its strip of the lower factor.
 
-    Every matmul (panel solve via ``tri_inverse`` + trailing update) runs at
-    an explicit ``precision`` — the TPU default (1-pass bf16) NaNs blocked
-    factorizations at cond(K) ~1e4 (see ops/linalg.tri_inverse)."""
-    from gpras_tpu.ops import linalg
-
+    The trailing update runs at an explicit ``precision`` — the TPU default
+    (1-pass bf16) NaNs blocked factorizations at cond(K) ~1e4 (measured,
+    docs/PERFORMANCE.md); panel TRSMs use XLA triangular_solve, which is
+    backward-stable (measured ~3e-7 residual in f32)."""
     nr, n = k_local.shape
     nb = n // b
     me = jax.lax.axis_index(axis)
@@ -93,12 +92,11 @@ def dist_cholesky_local(k_local: Array, b: int, axis: str = "i",
             jnp.where(me == owner, panel_rows, jnp.zeros_like(panel_rows)), axis)
         a_kk = _dslice(panel, (0, g0), (b, b))
         l_kk = jnp.linalg.cholesky(a_kk)  # redundant on all devices (b x b)
-        linv = linalg.tri_inverse(l_kk, precision=precision)
 
         # local rows of the panel column: C = K[:, g0:g0+b]; L = C L_kk^-T
         c_local = _dslice(k_loc, (0, g0), (nr, b))
-        l_below = jnp.matmul(c_local, linv.T, precision=precision,
-                             preferred_element_type=k_loc.dtype)
+        l_below = jax.scipy.linalg.solve_triangular(
+            l_kk, c_local.T, lower=True).T  # (nr, b)
         below = (gidx >= g0 + b)[:, None]
         in_panel = ((gidx >= g0) & (gidx < g0 + b))[:, None]
         # owner's panel rows take L_kk; rows below take the TRSM result

@@ -41,7 +41,6 @@ import jax.numpy as jnp
 from jax.sharding import Mesh, PartitionSpec as P
 from jax import shard_map
 
-from gpras_tpu.ops import linalg
 
 Array = jax.Array
 
@@ -94,10 +93,10 @@ def dist_cholesky_2d_local(k_local: Array, b: int,
         a_kk = _bcast(_dslice(col_strip, (loc_r, 0), (b, b)),
                       mi == owner_i, ai)
         l_kk = jnp.linalg.cholesky(a_kk)
-        linv = linalg.tri_inverse(l_kk, precision=precision)
-        # 3. local rows of the panel column: L = C L_kk^-T
-        l_col = jnp.matmul(col_strip, linv.T, precision=precision,
-                           preferred_element_type=k_loc.dtype)  # (nr, b)
+        # 3. local rows of the panel column: L = C L_kk^-T (XLA TRSM is
+        # backward-stable; only the trailing matmul needs explicit precision)
+        l_col = jax.scipy.linalg.solve_triangular(
+            l_kk, col_strip.T, lower=True).T  # (nr, b)
         below = (gidx_r >= g0 + b)[:, None]
         in_panel = ((gidx_r >= g0) & (gidx_r < g0 + b))[:, None]
         l_kk_rows = _dupdate(jnp.zeros((nr, b), k_loc.dtype), l_kk, (loc_r, 0))
