@@ -86,10 +86,22 @@ def _kmv_body(kernel: str, a_ref, b_ref, v_ref, var_ref, noise_ref, out_ref,
 
     k = _tile_value(kernel, a_ref[:], b_ref[:], var_ref[0, 0], noise_ref[0, 0],
                     tile_m, tile_n, square)
-    # HIGHEST: a bf16 contraction here would cap CG's reachable residual at
-    # ~1e-2; the kernel is transcendental-bound, so f32 passes are ~free
-    contrib = jnp.dot(k, v_ref[:], preferred_element_type=jnp.float32,
-                      precision=jax.lax.Precision.HIGHEST)
+    # Manual bf16_3x contraction: Mosaic only exposes DEFAULT (1 bf16 pass —
+    # caps CG's reachable residual at ~1e-2) and HIGHEST (~6 passes). The
+    # hi/lo split a.b ~= ah.bh + ah.bl + al.bh gives f32-grade accumulation
+    # in 3 native MXU passes (dropped lo.lo term ~ 2^-16 relative), the same
+    # tradeoff as XLA's 'high' everywhere else in the framework.
+    v = v_ref[:]
+    k_hi = k.astype(jnp.bfloat16)
+    k_lo = (k - k_hi.astype(jnp.float32)).astype(jnp.bfloat16)
+    v_hi = v.astype(jnp.bfloat16)
+    v_lo = (v - v_hi.astype(jnp.float32)).astype(jnp.bfloat16)
+
+    def bdot(aa, bb):
+        return jnp.dot(aa, bb, preferred_element_type=jnp.float32,
+                       precision=jax.lax.Precision.DEFAULT)
+
+    contrib = bdot(k_hi, v_hi) + bdot(k_hi, v_lo) + bdot(k_lo, v_hi)
     j = pl.program_id(1)
 
     @pl.when(j == 0)
