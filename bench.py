@@ -1,16 +1,28 @@
-"""Headline benchmark: exact-GP fit wall-clock, per BASELINE.json's metric
-"N=50k exact-GP fit wall-clock (Chol+NLML opt)".
+"""Headline benchmark: CONVERGED exact-GP fit wall-clock at N=49,152, per
+BASELINE.json's metric "N=50k exact-GP fit wall-clock (Chol+NLML opt)".
 
-Protocol: largest N from the ladder that runs on the chip; 10 jitted Adam
-steps on the exact-GP training loss, timed after one warmup/compile step with
-device-synced (scalar-fetch) barriers. Default engine: fused Pallas Gram +
-in-place super-panel Cholesky forward + Hutchinson (BBMM-style) stochastic
-trace backward (GPRAS_BENCH_MODE selects lean = O(N^3) exact backward, or
-cg = fully matrix-free batched CG + SLQ). Also reported: batched SGPR
-posterior serving throughput (storm-event predictions/sec) and an in-run
-matrix-free fit at N=131072. Baseline: the reference publishes no numbers
-(BASELINE.md); the driver-set target is fit < 10 s on one TPU slice, so
-vs_baseline = 10 / seconds (>1 means faster than target).
+Round-2 protocol (all timings device-synced via scalar fetch, warm compile
+caches): at the largest ladder N that runs on the chip,
+1. ``adam10_seconds`` — 10 jitted Adam steps (round-1 continuity unit;
+   fused Pallas Gram + in-place super-panel Cholesky forward + Hutchinson
+   stochastic-trace backward, with the f32 production guards: noise floor +
+   non-finite step rejection);
+2. ``converged_fit_seconds`` — the same step run under the reference's own
+   early-stop rule (rel-tol 1e-5, patience 50, gpras/gpr.py:162-173) from
+   standard init, capped at GPRAS_BENCH_MAX_STEPS; records the converged
+   loss L* (``converged_by_rule`` says whether the rule fired before the
+   cap);
+3. **headline** ``fit_to_convergence_seconds`` — hierarchical warm start
+   (fully-jitted converged dense fit on a uniform N/24 subsample, then
+   full-N polish) timed until the loss enters the reference rule's own
+   tolerance band around L*. vs_baseline = 10 / headline (the driver-set
+   "<10 s" target).
+Also reported: batched SGPR mode-space serving throughput, full-field
+serving throughput (EOF reverse transform + variance at ~49k cells), an
+in-run matrix-free CG fit at N=131,072, and the accuracy north star
+(depth-RMSE of the f32 TPU pipeline vs the f64 dense gold posterior, with
+2-sigma calibration — gpras_tpu/accuracy.py). GPRAS_BENCH_MODE selects
+alternative engines (lean / cg) for the step unit.
 
 Prints exactly one JSON line.
 """
