@@ -330,3 +330,13 @@ def dist_nlml_value(mesh, params, x, y, b):
     from gpras_tpu.parallel.pexact import dist_nlml_forward
 
     return dist_nlml_forward(mesh, "Matern52", params, x, y, b=b)[0]
+
+
+def test_pgram_2d_noise_diagonal():
+    mesh = make_mesh((4, 2), ("i", "j"))
+    rng = np.random.default_rng(5)
+    x = jnp.asarray(rng.normal(size=(N, D)))
+    params = K.init_params("RBF", D, dtype=jnp.float64)
+    got = np.asarray(pgram_2d(mesh, "RBF", params, x, noise=0.37))
+    want = np.asarray(K.gram("RBF", params, x)) + 0.37 * np.eye(N)
+    np.testing.assert_allclose(got, want, rtol=1e-12, atol=1e-12)
