@@ -217,7 +217,7 @@ def bench_converged_fit(n: int, d: int = 8) -> dict:
        loop applying the reference stopping rule; records wall-clock, steps,
        and the converged loss L*.
     2. ``fit_to_convergence``: stage A = fully-jitted converged dense fit on
-       a uniform N/12 subsample (same lr/stopping rule, on device); stage B =
+       a uniform max(2048, N/24) subsample (same lr, on device); stage B =
        full-N steps from stage-A params until the loss enters the reference's
        own tolerance band around L* (<= L* + 1e-5|L*|). The headline is
        stage-A warm wall-clock + stage-B wall-clock — the time a user waits
@@ -243,17 +243,20 @@ def bench_converged_fit(n: int, d: int = 8) -> dict:
 
     def run_to(params, stop_loss=None, max_iter=max_steps):
         """Host loop with the reference stopping rule; returns
-        (seconds, steps, best_loss, hit_seconds_or_None)."""
+        (seconds, steps, best_loss, hit_seconds_or_None).
+
+        The warmup step (executable compile/load) runs on a THROWAWAY copy of
+        the initial state and is discarded, so every real optimization step —
+        including the first — is inside the timed region and checked against
+        the stop band."""
         opt_state = opt.init(params)
         good_p, good_opt = params, opt_state
         key = jax.random.PRNGKey(0)
         state = (params, opt_state, good_p, good_opt, key)
-        # warmup executes one step and syncs (compile hits the on-disk cache)
-        *state_rest, loss, finite, key = step(*state)
-        state = (*state_rest, key)
-        best = float(loss)
-        if not np.isfinite(best):
+        *_, warm_loss, _, _ = step(*state)  # discarded: compile/load only
+        if not np.isfinite(float(warm_loss)):
             raise RuntimeError("non-finite warmup loss")
+        best = np.inf
         count, hit = 0, None
         plateaued = False
         t0 = time.perf_counter()
@@ -515,7 +518,23 @@ def main() -> None:
             if elapsed is not None:
                 break
             print(f"# n={n} failed: {proc.stderr[-300:]}", file=sys.stderr)
-        except subprocess.TimeoutExpired:
+        except subprocess.TimeoutExpired as e:
+            # salvage whatever the subprocess printed before the deadline —
+            # the 10-step ELAPSED line often completes even when the
+            # converged protocol does not
+            raw = e.stdout or b""
+            if isinstance(raw, bytes):
+                raw = raw.decode(errors="replace")
+            for line in raw.splitlines():
+                if line.startswith("ELAPSED "):
+                    elapsed = float(line.split()[1])
+                    n_used = n
+                elif line.startswith("CONVERGED "):
+                    converged = json.loads(line[len("CONVERGED "):])
+            if elapsed is not None:
+                print(f"# n={n} timed out after {timeout}s; salvaged partial "
+                      "results", file=sys.stderr)
+                break
             print(f"# n={n} timed out after {timeout}s (cold compile?)",
                   file=sys.stderr)
             continue

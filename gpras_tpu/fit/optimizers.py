@@ -163,10 +163,15 @@ def adam_fit(
     i, p, _, _, _, losses, good_p, _ = jax.lax.while_loop(cond, body, init)
     if reject_nonfinite:
         # the last iterate may itself be the one that went non-finite;
-        # fall back to the last known-good params in that case
+        # fall back to the last known-good params in that case. The fallback
+        # branch pays one extra loss eval; the common (finite) path reuses
+        # the value just computed.
         final_loss = loss_fn(p)
         ok = jnp.isfinite(final_loss)
         p = jax.tree.map(lambda u, v: jnp.where(ok, u, v), p, good_p)
+        final_loss = jax.lax.cond(ok, lambda: final_loss,
+                                  lambda: loss_fn(good_p))
+        return p, {"iterations": i, "losses": losses, "loss": final_loss}
     return p, {"iterations": i, "losses": losses, "loss": loss_fn(p)}
 
 

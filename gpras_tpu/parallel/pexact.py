@@ -96,15 +96,15 @@ def make_dist_nlml(mesh: Mesh, kernel: str, b: int = 128, col_batch: int = 256,
     Cholesky-factor-reusing backward described in the module docstring.
     ``layout="2d"`` runs the forward on the P(i, j)-tiled engine
     (pcholesky2d) and the backward's solves in the same layout; the Gram-vjp
-    contraction stays row-sharded over "i" (replicated over "j", corrected
-    by 1/dj)."""
+    contraction stays row-sharded over "i" and replicated over "j" —
+    shard_map's varying-axis tracking reduces the pullback over "i" only,
+    so no cross-axis correction is needed (validated vs the 1-D gradients
+    in test_pcholesky2d)."""
     if layout == "2d":
         from gpras_tpu.parallel.pcholesky2d import dist_cho_solve_2d
         solver = lambda l, rhs: dist_cho_solve_2d(mesh, l, rhs, b=b)
-        dj = mesh.shape["j"]
     else:
         solver = lambda l, rhs: dist_cho_solve(mesh, l, rhs, b=b)
-        dj = 1
 
     @jax.custom_vjp
     def nlml(params, x, y):

@@ -89,12 +89,20 @@ def get_hms_preprocessor(config: Config, data: pd.DataFrame) -> HmsPreProcessor:
 
 def _event_ids(df: pd.DataFrame, config: Config) -> np.ndarray | None:
     """Per-row event labels from the aligned frame's (run, t) MultiIndex, when
-    the API event-reset flag is on."""
+    the API event-reset flag is on.
+
+    Raises rather than silently returning None when the flag is set but the
+    frame cannot supply event boundaries — falling back to a whole-frame
+    convolution would reintroduce exactly the cross-event API leakage the
+    flag promises to remove."""
     if not config.api_event_reset:
         return None
     if isinstance(df.index, pd.MultiIndex) and "run" in (df.index.names or ()):
         return np.asarray(df.index.get_level_values("run"))
-    return None
+    raise ValueError(
+        "api_event_reset=True requires the aligned data frame to carry a "
+        f"(run, t) MultiIndex with a 'run' level; got index names "
+        f"{list(df.index.names or [])}")
 
 
 def get_pre_processors(config: Config, hf_data: pd.DataFrame, lf_data: pd.DataFrame,

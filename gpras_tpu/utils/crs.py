@@ -58,7 +58,11 @@ def _tokenize_wkt(wkt: str):
                 children.append(m.group(1))
                 pos += m.end()
             else:
-                m = re.match(r"\s*([-+0-9.eE]+)\s*", s[pos:])
+                # a proper float token — NOT the loose [-+0-9.eE]+, which
+                # would eat the "E" of bare enum tokens like EAST and crash
+                # float() (AXIS["Easting",EAST] is standard GDAL output)
+                m = re.match(r"\s*([-+]?(?:\d+\.?\d*|\.\d+)(?:[eE][-+]?\d+)?)"
+                             r"(?=\s*[,\]])", s[pos:])
                 if m:
                     children.append(float(m.group(1)))
                     pos += m.end()

@@ -223,3 +223,20 @@ def test_builder_rasterized_aoi_reprojects(tmp_path):
     miss = rasterize_polygon(Polygon(aoi_ring), (x0, y0), 2000.0,
                              (rows, cols), all_touched=True)
     assert not miss.any()
+
+
+def test_wkt_axis_enum_tokens_parse():
+    """GDAL/rasterio WKT1 commonly ends with AXIS["Easting",EAST],
+    AXIS["Northing",NORTH]: bare enum tokens starting with 'E' must not be
+    eaten by the float tokenizer (regression: float('E') ValueError)."""
+    wkt_axes = SHG_WKT[:-1] + (',AXIS["Easting",EAST],AXIS["Northing",NORTH],'
+                               'AUTHORITY["EPSG","5070"]]')
+    c = CRS.from_wkt(wkt_axes)
+    assert c.kind == "aea"
+    x, y = c.from_lonlat(np.array([-96.0]), np.array([23.0]))
+    assert abs(x[0]) < 1e-6 and abs(y[0]) < 1e-6
+    # scientific-notation numbers still parse as floats
+    from gpras_tpu.utils.crs import _tokenize_wkt
+
+    node = _tokenize_wkt('PARAMETER["false_easting",1.5e6]')
+    assert node[1][1] == 1.5e6

@@ -177,3 +177,22 @@ def test_pseudo_surface_builder(hms_setup, tmp_path):
     stations = b.cell_stations
     assert np.all(np.diff(np.sort(stations)) >= 0)
     assert stations.max() <= b.centerline.length + 1e-6
+
+
+def test_event_ids_raises_without_run_level():
+    """api_event_reset=True must refuse frames without event boundaries
+    instead of silently convolving across events."""
+    import pandas as pd
+    import pytest
+
+    from gpras_tpu.pipeline.pipeline import _event_ids
+
+    class _Cfg:
+        api_event_reset = True
+
+    df = pd.DataFrame(np.ones((4, 2)))  # plain RangeIndex
+    with pytest.raises(ValueError, match="run"):
+        _event_ids(df, _Cfg())
+    # with the flag off: always None, no validation
+    _Cfg.api_event_reset = False
+    assert _event_ids(df, _Cfg()) is None
