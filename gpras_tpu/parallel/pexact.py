@@ -120,7 +120,9 @@ def make_dist_nlml(mesh: Mesh, kernel: str, b: int = 128, col_batch: int = 256,
         params, x, y, l, alpha = res
         n = x.shape[0]
         c = min(col_batch, n)
-        while n % c != 0:
+        dj = mesh.shape["j"] if layout == "2d" else 1
+        # c must divide N (batch loop) and, for 2-D, split evenly over "j"
+        while n % c != 0 or c % dj != 0:
             c -= 1
         nbatch = n // c
 
@@ -129,18 +131,27 @@ def make_dist_nlml(mesh: Mesh, kernel: str, b: int = 128, col_batch: int = 256,
 
             Under shard_map's varying-manual-axes semantics the pullback toward
             the replicated (unvarying) ``p`` already includes the cross-device
-            psum (broadcast transposes to reduce) — do NOT psum again. On a
-            2-D mesh the operands are invariant over "j", and shard_map's
-            varying-axis tracking reduces over "i" only — no extra factor."""
+            psum (broadcast transposes to reduce) — do NOT psum again."""
             _, pullback = jax.vjp(lambda pp: K.gram(kernel, pp, x_rows, x_cols), p)
             (grads,) = pullback(kbar_tile)
             return grads
 
-        contract = shard_map(
-            local_contract, mesh=mesh,
-            in_specs=(jax.tree.map(lambda _: P(), params), P("i", None),
-                      P(None, None), P("i", None)),
-            out_specs=jax.tree.map(lambda _: P(), params))
+        if layout == "2d":
+            # fully tiled backward: device (a, b) contracts the
+            # (N/di, c/dj) cotangent tile against its gram(x_rows_a,
+            # x_cols_b) jacobian — per-device work scales with the 2-D
+            # mesh shape, like the forward
+            contract = shard_map(
+                local_contract, mesh=mesh,
+                in_specs=(jax.tree.map(lambda _: P(), params), P("i", None),
+                          P("j", None), P("i", "j")),
+                out_specs=jax.tree.map(lambda _: P(), params))
+        else:
+            contract = shard_map(
+                local_contract, mesh=mesh,
+                in_specs=(jax.tree.map(lambda _: P(), params), P("i", None),
+                          P(None, None), P("i", None)),
+                out_specs=jax.tree.map(lambda _: P(), params))
 
         def batch_step(j, carry):
             grads_acc, diag_acc = carry
