@@ -305,6 +305,18 @@ def bench_converged_fit(n: int, d: int = 8) -> dict:
     warm_s = time.perf_counter() - t0
     polish_s, polish_steps, _, hit, _ = run_to(p_a, stop_loss=l_star,
                                                max_iter=200)
+    # Optional: run the warm-started fit to TRUE rule convergence (the cold
+    # fit's ARD tail usually outlives the step cap; the warm-started one
+    # plateaus by the reference rule in ~250 steps at 49k — measured).
+    rule = {}
+    if os.environ.get("GPRAS_BENCH_RULE_CONVERGENCE", "1") == "1":
+        r_s, r_steps, r_best, _, r_plateaued = run_to(p_a, max_iter=350)
+        rule = {
+            "warmstarted_rule_converged_seconds": round(warm_s + r_s, 3),
+            "warmstarted_rule_converged_steps": r_steps,
+            "warmstarted_rule_converged_by_rule": r_plateaued,
+            "warmstarted_rule_converged_loss": round(r_best, 2),
+        }
     out = {
         "converged_fit_seconds": round(conv_s, 3),
         "converged_fit_steps": conv_steps,
@@ -314,6 +326,7 @@ def bench_converged_fit(n: int, d: int = 8) -> dict:
         "converged_by_rule": plateaued,
         "converged_loss": round(l_star, 2),
         "warmstart_seconds": round(warm_s, 3),
+        **rule,
     }
     if hit is not None:
         out["fit_to_convergence_seconds"] = round(warm_s + hit, 3)
