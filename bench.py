@@ -16,7 +16,9 @@ caches): at the largest ladder N that runs on the chip,
    (fully-jitted converged dense fit on a uniform N/24 subsample, then
    full-N polish) timed until the loss enters the reference rule's own
    tolerance band around L*. vs_baseline = 10 / headline (the driver-set
-   "<10 s" target).
+   "<10 s" target). GPRAS_BENCH_RULE_CONVERGENCE=1 (default) additionally
+   runs the warm-started fit to its TRUE rule plateau
+   (``warmstarted_rule_converged_*`` fields, ~6 min at 49k; set =0 to skip).
 Also reported: batched SGPR mode-space serving throughput, full-field
 serving throughput (EOF reverse transform + variance at ~49k cells), an
 in-run matrix-free CG fit at N=131,072, and the accuracy north star
@@ -307,10 +309,11 @@ def bench_converged_fit(n: int, d: int = 8) -> dict:
                                                max_iter=200)
     # Optional: run the warm-started fit to TRUE rule convergence (the cold
     # fit's ARD tail usually outlives the step cap; the warm-started one
-    # plateaus by the reference rule in ~250 steps at 49k — measured).
+    # plateaued by the reference rule at step 346 at 49k — measured, so the
+    # cap carries real headroom).
     rule = {}
     if os.environ.get("GPRAS_BENCH_RULE_CONVERGENCE", "1") == "1":
-        r_s, r_steps, r_best, _, r_plateaued = run_to(p_a, max_iter=350)
+        r_s, r_steps, r_best, _, r_plateaued = run_to(p_a, max_iter=500)
         rule = {
             "warmstarted_rule_converged_seconds": round(warm_s + r_s, 3),
             "warmstarted_rule_converged_steps": r_steps,

@@ -95,11 +95,12 @@ def make_dist_nlml(mesh: Mesh, kernel: str, b: int = 128, col_batch: int = 256,
     """Returns ``nlml(params, x, y)`` differentiable w.r.t. params, with the
     Cholesky-factor-reusing backward described in the module docstring.
     ``layout="2d"`` runs the forward on the P(i, j)-tiled engine
-    (pcholesky2d) and the backward's solves in the same layout; the Gram-vjp
-    contraction stays row-sharded over "i" and replicated over "j" —
-    shard_map's varying-axis tracking reduces the pullback over "i" only,
-    so no cross-axis correction is needed (validated vs the 1-D gradients
-    in test_pcholesky2d)."""
+    (pcholesky2d), the backward's solves in the same layout, and the
+    Gram-vjp contraction fully tiled P(i, j): device (a, b) contracts its
+    (N/di, c/dj) cotangent tile against gram(x_rows_a, x_cols_b), and
+    shard_map's varying-axis tracking psums the pullback over both axes
+    toward the replicated params — each tile is distinct, so there is no
+    double counting (validated vs the 1-D gradients in test_pcholesky2d)."""
     if layout == "2d":
         from gpras_tpu.parallel.pcholesky2d import dist_cho_solve_2d
         solver = lambda l, rhs: dist_cho_solve_2d(mesh, l, rhs, b=b)
@@ -119,11 +120,15 @@ def make_dist_nlml(mesh: Mesh, kernel: str, b: int = 128, col_batch: int = 256,
     def bwd(res, g):
         params, x, y, l, alpha = res
         n = x.shape[0]
-        c = min(col_batch, n)
         dj = mesh.shape["j"] if layout == "2d" else 1
         # c must divide N (batch loop) and, for 2-D, split evenly over "j"
-        while n % c != 0 or c % dj != 0:
+        c = min(col_batch, n)
+        while c >= dj and (n % c != 0 or c % dj != 0):
             c -= 1
+        if c < dj or n % c != 0 or c % dj != 0:
+            raise ValueError(
+                f"no column batch <= {col_batch} divides N={n} and is a "
+                f"multiple of the mesh 'j' axis ({dj}); raise col_batch")
         nbatch = n // c
 
         def local_contract(p, x_rows, x_cols, kbar_tile):

@@ -116,3 +116,20 @@ def test_dist_nlml_2d_matches_1d_and_grads():
     for k in g1:
         np.testing.assert_allclose(np.asarray(g2[k]), np.asarray(g1[k]),
                                    rtol=1e-8, atol=1e-10)
+
+
+def test_dist_nlml_2d_rejects_incompatible_col_batch():
+    """col_batch smaller than the mesh 'j' axis cannot tile the backward —
+    must raise a clear error, not ZeroDivisionError."""
+    import jax
+    from gpras_tpu.gp import exact
+    from gpras_tpu.parallel.pexact import make_dist_nlml
+
+    rng = np.random.default_rng(1)
+    x = jnp.asarray(rng.normal(size=(N, 3)))
+    y = jnp.asarray(np.sin(np.asarray(x)[:, 0]))
+    params = exact.init_params("RBF", x, noise_variance=0.2)
+    mesh = make_mesh((1, 8), ("i", "j"))
+    nlml = make_dist_nlml(mesh, "RBF", b=8, col_batch=3, layout="2d")
+    with pytest.raises(ValueError, match="column batch"):
+        jax.grad(nlml)(params, x, y)
