@@ -38,7 +38,15 @@ def _set_numerics_policy() -> None:
     try:
         if jax.config.jax_default_matmul_precision is None:
             jax.config.update("jax_default_matmul_precision", "high")
-    except Exception:  # never block import over a numerics preference
+            # process-global change: make it discoverable for co-resident
+            # JAX code that didn't ask for it
+            import logging
+
+            logging.getLogger(__name__).debug(
+                "gpras_tpu set jax_default_matmul_precision='high' "
+                "(TPU default is 1-pass bf16; see docs/PERFORMANCE.md)")
+    except AttributeError:
+        # jax without this config knob (version drift): nothing to set
         pass
 
 

@@ -210,8 +210,48 @@ class RasModel:
         ``RASModelItem.from_prj(...).to_file(...)``), without hecstac:
         bbox/geometry from the mesh facepoint extent, the model projection as
         ``proj:wkt2``, per-asset media types and hec-ras roles, and the
-        project file's mtime as the item datetime."""
+        project file's mtime as the item datetime.
+
+        Per STAC 1.0 / GeoJSON RFC 7946, the item ``geometry``/``bbox`` are
+        WGS84 lon/lat (reprojected from the model CRS via the owned Snyder
+        inverses in utils/crs.py, ring edges densified); the native-CRS
+        extent moves to ``proj:bbox``/``proj:geometry``. When no projection
+        is available (or it fails to parse) the item carries null geometry
+        and only the proj fields."""
         bbox, geom = self._spatial_extent()
+        native_bbox, native_geom = bbox, geom
+        lonlat = None
+        if bbox is not None and self.projection:
+            try:
+                from gpras_tpu.utils.crs import CRS as _CRS
+
+                crs = _CRS.from_wkt(self.projection)
+                # densify each bbox edge so the lon/lat envelope tracks the
+                # projected edges' curvature, not just the 4 corners
+                t = np.linspace(0.0, 1.0, 9)
+                xs = np.concatenate([
+                    bbox[0] + (bbox[2] - bbox[0]) * t,            # south
+                    np.full_like(t, bbox[2]),                     # east
+                    bbox[2] + (bbox[0] - bbox[2]) * t,            # north
+                    np.full_like(t, bbox[0]),                     # west
+                ])
+                ys = np.concatenate([
+                    np.full_like(t, bbox[1]),
+                    bbox[1] + (bbox[3] - bbox[1]) * t,
+                    np.full_like(t, bbox[3]),
+                    bbox[3] + (bbox[1] - bbox[3]) * t,
+                ])
+                lon, lat = crs.to_lonlat(xs, ys)
+                ring = [[float(a), float(b)] for a, b in zip(lon, lat)]
+                ring.append(ring[0])
+                lonlat = (
+                    [float(lon.min()), float(lat.min()),
+                     float(lon.max()), float(lat.max())],
+                    {"type": "Polygon", "coordinates": [ring]},
+                )
+            except Exception:
+                lonlat = None
+        bbox, geom = lonlat if lonlat is not None else (None, None)
         try:
             import datetime as _dt
 
@@ -226,6 +266,11 @@ class RasModel:
             props["proj:wkt2"] = self.projection
             extensions.append(
                 "https://stac-extensions.github.io/projection/v1.1.0/schema.json")
+        if native_bbox is not None and self.projection:
+            # native-CRS extent (meters) belongs in the proj extension, not
+            # in the RFC 7946 lon/lat geometry/bbox slots
+            props["proj:bbox"] = native_bbox
+            props["proj:geometry"] = native_geom
         item = {
             "type": "Feature",
             "stac_version": "1.0.0",

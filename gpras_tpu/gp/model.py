@@ -184,8 +184,12 @@ class GPRAS:
 
         if (warm_start_subsample > 0 and self.model_type == "exact"
                 and initial_params is None
-                and self.x.shape[0] > warm_start_subsample):
-            stride = max(1, self.x.shape[0] // warm_start_subsample)
+                and self.x.shape[0] >= 2 * warm_start_subsample):
+            # ceil-division stride keeps the warm stage <= subsample points;
+            # floor would silently run the warm fit on (nearly) the full set
+            # for subsample < N < 2*subsample — the >= 2x gate above plus
+            # ceil makes the two-stage cost model always hold
+            stride = -(-self.x.shape[0] // warm_start_subsample)
             warm = GPRAS(self.kernel_str, model_type="exact",
                          dtype=self.dtype, exact_engine=self.exact_engine)
             warm.fit(self.x[::stride], self.y[::stride],

@@ -145,8 +145,11 @@ def super_cholesky(k: Array, w: int = 4096, strip: int = 8192,
             continue
         a21 = jax.lax.slice(k, (g0 + w, g0), (n, g0 + w))  # (t, w)
         if inv_panel:
-            # Newton-refined inverse: XLA's triangular_solve would seed the
-            # panel with 1-pass-bf16-level error (see linalg.tri_inverse)
+            # Explicit inverse-by-matmul is the SPEED choice here: XLA TRSM
+            # runs ~23 TF/s vs ~48 TF/s for bf16_3x matmul (and TRSM itself
+            # is backward-stable ~3e-7 — see linalg.tri_inverse). The Newton
+            # refinement compensates the ~1e-4 instability of applying an
+            # explicit inverse.
             linv = linalg.tri_inverse(l11, precision=prec)
             l21 = jnp.matmul(a21, linv.T, precision=prec,
                              preferred_element_type=k.dtype)

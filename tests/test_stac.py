@@ -32,11 +32,18 @@ def test_to_stac_item_richness(tmp_path):
     assert item["stac_version"] == "1.0.0"
     assert item["type"] == "Feature"
     assert item["id"] == "casper"
-    # bbox from the mesh facepoint extent: 4x3 cells of 10 -> 40 x 30
-    assert item["bbox"] == [0.0, 0.0, 40.0, 30.0]
+    # STAC 1.0 / RFC 7946: geometry + bbox are WGS84 lon/lat. The mesh sits
+    # at the Albers origin (lat_0=23, lon_0=-96), 40 x 30 m -> a few 1e-4 deg
+    bbox = item["bbox"]
+    assert abs(bbox[0] - (-96.0)) < 1e-6 and abs(bbox[1] - 23.0) < 1e-6
+    assert 0 < bbox[2] - bbox[0] < 0.01 and 0 < bbox[3] - bbox[1] < 0.01
     ring = item["geometry"]["coordinates"][0]
-    assert ring[0] == ring[-1] == [0.0, 0.0]
-    assert len(ring) == 5
+    assert ring[0] == ring[-1]
+    assert all(-97 < p[0] < -95 and 22 < p[1] < 24 for p in ring)
+    # the native-CRS extent moves to the projection extension
+    assert item["properties"]["proj:bbox"] == [0.0, 0.0, 40.0, 30.0]
+    nring = item["properties"]["proj:geometry"]["coordinates"][0]
+    assert nring[0] == nring[-1] == [0.0, 0.0] and len(nring) == 5
     # projection extension
     assert item["properties"]["proj:wkt2"] == WKT
     assert any("projection" in e for e in item["stac_extensions"])
