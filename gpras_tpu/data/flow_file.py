@@ -13,10 +13,12 @@ then each block is handed to its section's ``parse`` — segmentation and
 interpretation are decoupled, which makes round-trip tests and new sections
 straightforward.
 
-Known-unmodeled groups (checked against a real HEC-RAS 6.4 .u01): the
-'Observed Time Series=...' block is dropped on parse and the FlowOptions
-template is re-emitted wholesale — identical behavior to the reference's
-trigger parser (gpras/ras/flow.py:512-658), which models neither.
+The 'Observed Time Series=...' group (calibration gage data the reference's
+trigger parser silently DROPS, gpras/ras/flow.py:512-658) is captured
+verbatim — block lines preserved in order, including continuation rows and
+any 'Observed DSS ...' keys — and re-emitted after the boundary conditions,
+so editing a file with observed data never loses it. The FlowOptions
+template is still re-emitted wholesale (same as the reference).
 """
 
 from __future__ import annotations
@@ -388,6 +390,9 @@ class UnsteadyFlowFile:
         self.air_temperature = _simple_met("Air Temperature")
         self.humidity = _simple_met("Humidity")
         self.air_pressure = air_pressure()
+        #: verbatim 'Observed Time Series=' blocks (calibration gage data);
+        #: captured on parse, re-emitted unchanged — the reference drops them
+        self.observed_time_series: list[str] = []
 
     # ----------------------------------------------------------------- emission
 
@@ -400,6 +405,7 @@ class UnsteadyFlowFile:
             "END FILE DESCRIPTION:",
             self.initial_conditions.emit(),
             self.boundary_conditions.emit(),
+            *self.observed_time_series,
             "Met Point Raster Parameters=,,,,",
             f"Precipitation Mode={self.precip_mode}",
             f"Wind Mode={self.wind.mode}",
@@ -442,6 +448,7 @@ class UnsteadyFlowFile:
         table["Program Version"] = self._set("program_version")
         table["BEGIN FILE DESCRIPTION:"] = self._consume_description
         table["Met Point Raster Parameters"] = None  # recognized, ignored
+        table["Observed Time Series"] = self._consume_observed
         table["Precipitation Mode"] = self._set("precip_mode")
         table["Wind Mode"] = self._set_wind_mode
         table["Air Density Mode"] = self._set("air_density_mode")
@@ -455,6 +462,9 @@ class UnsteadyFlowFile:
 
     def _set_wind_mode(self, block: str) -> None:
         self.wind.mode = block.split("\n", 1)[0].partition("=")[2]
+
+    def _consume_observed(self, block: str) -> None:
+        self.observed_time_series.append(block)
 
     def _consume_description(self, block: str) -> None:
         body = [ln for ln in block.split("\n")

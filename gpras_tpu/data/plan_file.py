@@ -3,14 +3,15 @@
 Capability parity with the reference's plan layer (gpras/ras/plan.py:14-124):
 typed boundary-condition dataclasses carrying their HDF target path, HDF
 attribute/data patching (with the bytes-attribute quirk), and a key=value plan
-file generated from a defaults template with per-run overrides (the reference
-ships a 217-line captured template, gpras/ras/static/plan_template.txt; we
-synthesize a default set programmatically and accept a user template path for
-site-specific captures).
+file generated from the captured HEC-RAS 6.50 template
+(gpras_tpu/data/plan_template.py — same capture the reference ships as
+gpras/ras/static/plan_template.txt) with per-run overrides; a user template
+path is accepted for site-specific captures and round-trips byte-exactly.
 """
 
 from __future__ import annotations
 
+from collections.abc import MutableMapping
 from dataclasses import dataclass
 from pathlib import Path
 
@@ -79,119 +80,99 @@ def update_hdf_data(hdf_path: str, data_path: str, data: np.ndarray) -> None:
 
 
 def default_plan_settings() -> dict[str, str]:
-    """A functional default key=value set for a 2D unsteady plan. Site-specific
-    captures can be supplied via ``PlanFile(template_path=...)``."""
-    return {
-        "Plan Title": "",
-        "Program Version": "6.60",
-        "Short Identifier": "",
-        "Simulation Date": "",
-        "Geom File": "g01",
-        "Flow File": "u01",
-        "Friction Slope Method": "2",
-        "Computation Interval": "10SEC",
-        "Output Interval": "1HOUR",
-        "Mapping Interval": "1HOUR",
-        "Instantaneous Interval": "1HOUR",
-        "Run HTab": "1",
-        "Run UNet": "1",
-        "Run Sediment": "0",
-        "Run PostProcess": "1",
-        "Run WQNet": "0",
-        "Run RASMapper": "-1",
-        "UNET Use Existing IB Tables": "-1",
-        "UNET 1D Methodology": "Finite Difference",
-        "UNET D2 SolverType": "Pardiso",
-        "UNET D2 Name": "",
-        "UNET D2 Theta": "1",
-        "UNET D2 Theta Warmup": "1",
-        "UNET D2 Tolerance": "0.003",
-        "UNET D2 VTolerance": "0.003",
-        "UNET D2 Iterations": "20",
-        "UNET D2 WarmupIterations": "0",
-        "UNET D2 Equation": "2",
-        "UNET D1 Cores": "0",
-        "UNET D2 Cores": "0",
-        "PS Cores": "0",
-        "UNET Max Iterations": "20",
-        "UNET ZSA Tolerance": "0.01",
-        "UNET ZFS Tolerance": "0.01",
-        "UNET Flow Tolerance": "0.001",
-        "UNET Theta": "1",
-        "UNET Theta Warmup": "1",
-        "UNET Warmup Time Span": "0",
-        "UNET Warmup Time Step Hr": "0",
-        "UNET Initial Backwater Flow Ratio": "-1",
-        "UNET Froude Limit Method": "0",
-        "UNET Time Slices": "1",
-        "UNET D2 Initial Conditions Time": "",
-        "UNET D2 Initial Conditions Ramp Up Fraction": "0.1",
-        "Write IC File": "0",
-        "Write IC File at Fixed DateTime": "0",
-        "IC Time": "",
-        "Write IC File Reoccurance": "",
-        "Write IC File at Sim End": "0",
-        "Echo Input": "0",
-        "Echo Parameters": "0",
-        "Echo Output": "0",
-        "Log Output": "0",
-        "Log Hydraulics": "0",
-        "HDF Compression": "1",
-        "HDF Chunk Size": "",
-        "HDF Spatial Parts": "1",
-        "HDF Use Max Rows": "0",
-        "HDF Fixed Rows": "",
-        "HDF Flush": "0",
-        "HDF Write Time Slices": "",
-        "HDF Write Warmup": "0",
-        "HDF Write Downstream Boundaries": "0",
-        "DSS File": "dss",
-        "DSS Messages": "0",
-        "Computation Level Output": "0",
-        "Mapping Shallow Grid": "-1",
-        "Stored Map Flood": "0",
-        "Stored Map Depth": "0",
-        "Stored Map Velocity": "0",
-        "Stored Map WSEL": "0",
-    }
+    """The captured HEC-RAS 6.50 defaults as a plain dict (first occurrence
+    wins for the one duplicated key; bare flag lines omitted). Prefer
+    ``PlanFile()`` which keeps order, duplicates, and flags."""
+    from gpras_tpu.data.plan_template import PLAN_TEMPLATE_650
+
+    out: dict[str, str] = {}
+    for k, v in PLAN_TEMPLATE_650:
+        if v is not None and k not in out:
+            out[k] = v
+    return out
+
+
+class _SettingsView(MutableMapping):
+    """Dict-like view over the ordered entry list: reads/writes the FIRST
+    entry with a given key (HEC-RAS reads the first too), appends new keys
+    at the end, skips bare flag lines (value None) on iteration."""
+
+    def __init__(self, entries: list[list[str | None]]):
+        self._entries = entries
+
+    def _find(self, key: str) -> int:
+        for i, (k, v) in enumerate(self._entries):
+            if k == key and v is not None:
+                return i
+        raise KeyError(key)
+
+    def __getitem__(self, key: str) -> str:
+        return self._entries[self._find(key)][1]  # type: ignore[return-value]
+
+    def __setitem__(self, key: str, value: str) -> None:
+        try:
+            self._entries[self._find(key)][1] = value
+        except KeyError:
+            self._entries.append([key, value])
+
+    def __delitem__(self, key: str) -> None:
+        del self._entries[self._find(key)]
+
+    def __iter__(self):
+        seen = set()
+        for k, v in self._entries:
+            if v is not None and k not in seen:
+                seen.add(k)
+                yield k
+
+    def __len__(self) -> int:
+        return sum(1 for _ in self)
 
 
 class PlanFile:
-    """key=value plan file: defaults + overrides (reference gpras/ras/plan.py:84-124)."""
+    """key=value plan file: captured HEC-RAS 6.50 template + overrides
+    (reference gpras/ras/plan.py:84-124 + static/plan_template.txt).
+
+    Internally an ORDERED list of (key, value) entries so a site capture
+    round-trips byte-exactly: bare flag lines ("Subcritical Flow") carry
+    value ``None``, duplicate keys are preserved ("UNET D2 Cores" appears
+    twice in HEC-RAS output), and emission order is HEC-RAS's own.
+    ``settings`` is a dict-like view (first occurrence wins)."""
 
     def __init__(self, settings: dict[str, str] | None = None,
                  template_path: str | Path | None = None):
         if template_path is not None:
-            self.settings = self._read_file(str(template_path))
+            self.entries = self._read_entries(str(template_path))
         else:
-            self.settings = default_plan_settings()
+            from gpras_tpu.data.plan_template import default_plan_entries
+
+            self.entries = default_plan_entries()
+        self.settings = _SettingsView(self.entries)
         if settings is not None:
             self.settings.update(settings)
 
     @property
     def lines(self) -> list[str]:
-        out = []
-        for k, v in self.settings.items():
-            row = f"{k}={v}"
-            if not row.endswith("\n"):
-                row += "\n"
-            out.append(row)
-        return out
+        return [(k if v is None else f"{k}={v}") + "\n"
+                for k, v in self.entries]
 
     def emit(self) -> str:
         return "".join(self.lines)
 
     @staticmethod
-    def _read_file(path: str) -> dict[str, str]:
-        settings: dict[str, str] = {}
+    def _read_entries(path: str) -> list[list[str | None]]:
+        entries: list[list[str | None]] = []
         with open(path) as f:
             for line in f:
+                line = line.rstrip("\n")
+                # partition, not split: values may themselves contain '='
                 key, sep, value = line.partition("=")
                 if not sep:
-                    continue
-                # partition, not split: values may themselves contain '='
-                settings[key] = value.rstrip("\n")
-        return settings
+                    if line:  # bare flag line, e.g. "Subcritical Flow"
+                        entries.append([line, None])
+                else:
+                    entries.append([key, value])
+        return entries
 
     @classmethod
     def from_file(cls, path: str | Path) -> "PlanFile":

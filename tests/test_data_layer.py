@@ -290,3 +290,73 @@ def test_ghost_cells_trimmed_from_wsels_and_depths(tmp_path):
     depths = m.get_plan_depths(["e1"], "mesh1")
     assert depths.shape == (t, n_real)
     assert np.all(np.isfinite(depths.values))
+
+
+def test_plan_template_golden_capture(tmp_path):
+    """Golden pinning of the captured HEC-RAS 6.50 plan template (reference
+    gpras/ras/static/plan_template.txt via gpras/ras/plan.py:84-124): every
+    key HEC-RAS writes is present, in order, with HEC-RAS's own value
+    spacing; bare flag lines and the duplicated key survive a byte-exact
+    file round trip."""
+    from gpras_tpu.data.plan_template import PLAN_TEMPLATE_650
+
+    pf = PlanFile()
+    # full capture: 217 entries, 4 bare flags, one legitimately repeated key
+    assert len(pf.entries) == len(PLAN_TEMPLATE_650) == 217
+    flags = [k for k, v in pf.entries if v is None]
+    assert flags == ["Subcritical Flow", "Parabolic Critical Depth",
+                     "WQ AD Non Conservative", "Transport Output Increment 1"]
+    assert sum(1 for k, _ in pf.entries if k == "UNET D2 Cores") == 2
+    # HEC-RAS's own value spacing is preserved verbatim (fixed-width ints)
+    s = pf.emit()
+    for line in ("Program Version=6.50", "Std Step Tol= 0.01",
+                 "Run UNet=-1", "UNET Theta= 1", "UNET Gravity=32.17405",
+                 "Friction Slope Method= 1", "UNET D2 Eddy Viscosity=0.3",
+                 "PS Max Iterations= 20", "Number of Layers= 5"):
+        assert f"\n{line}\n" in f"\n{s}", line
+    # ordering: simulation header before solver block before sediment block
+    keys = [k for k, _ in pf.entries]
+    assert keys.index("Simulation Date") < keys.index("UNET Theta") \
+        < keys.index("Initial Layer Thickness")
+    # byte-exact round trip through a .pXX file (CRLF on disk)
+    p = tmp_path / "golden.p01"
+    pf.to_file(p)
+    assert PlanFile.from_file(p).emit() == s
+    pf.to_file(tmp_path / "again.p01")
+    assert (tmp_path / "again.p01").read_bytes() == p.read_bytes()
+    # per-run overrides only change their own lines
+    pf2 = PlanFile({"Plan Title": "evt", "Computation Interval": "10SEC"})
+    assert pf2.settings["Plan Title"] == "evt"
+    diff = [i for i, (a, b) in enumerate(zip(pf.entries, pf2.entries))
+            if a != b]
+    assert len(diff) == 2
+
+
+def test_flow_file_observed_time_series_roundtrip():
+    """The 'Observed Time Series=' calibration group (which the reference's
+    trigger parser drops, gpras/ras/flow.py:512-658) is captured verbatim —
+    continuation rows and Observed DSS keys included — and survives
+    parse -> emit -> parse unchanged."""
+    from gpras_tpu.data.flow_file import (FlowHydrographBC, InitialCondition,
+                                          InitialConditions,
+                                          UnsteadyFlowFile)
+
+    f = UnsteadyFlowFile("obs_test")
+    f.initial_conditions = InitialConditions(
+        [InitialCondition("wet area", "0.5", "2D")])
+    f.boundary_conditions.bcs.append(FlowHydrographBC(
+        interval="1HOUR", dss_file="ev.dss", dss_path="/A/B/FLOW//1HOUR/RUN/",
+        sa_2d_id="wet area", mesh_name="", bc_line_id="inflow"))
+    observed = ("Observed Time Series=Gage 1\n"
+                "Observed DSS File=obs.dss\n"
+                "Observed DSS Path=/BASIN/GAGE1/STAGE//15MIN/OBS/\n"
+                "     100.5     101.2     102.9")
+    f.observed_time_series.append(observed)
+
+    text = f.emit()
+    g = UnsteadyFlowFile.from_string(text)
+    assert g.observed_time_series == [observed]
+    # byte-stable fixpoint, and the group sits between BCs and met data
+    assert g.emit() == text
+    assert text.index("Boundary Location=") < text.index(
+        "Observed Time Series=") < text.index("Precipitation Mode=")
