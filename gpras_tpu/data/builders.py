@@ -277,6 +277,32 @@ class DataBuilder:
         return rasterize_polygon(aoi, (left, top), cellsize,
                                  (rows, cols), all_touched=True)
 
+    def export_rasterized_aoi(self, out_base: str) -> list[str]:
+        """QC dump of the rasterized AOI mask on the plan's precip grid —
+        the reference's debug GeoTIFF escape hatch
+        (gpras/preprocess.py:253-270) as npz + PNG (geometry.export_grid_qc).
+        Returns the written paths."""
+        from gpras_tpu.data.geometry import export_grid_qc
+
+        meta = self.hf_ras.get_precip_attributes(self.plans[0])
+        return export_grid_qc(
+            self._rasterized_aoi.astype(np.int32),
+            (float(meta["Raster Left"]), float(meta["Raster Top"])),
+            float(meta["Raster Cellsize"]), out_base,
+            crs_wkt=meta.get("Projection"), title="rasterized AOI")
+
+    def export_precip_qc(self, data: np.ndarray, out_base: str) -> list[str]:
+        """QC dump of one precip raster timestep on the plan's grid
+        (reference _export_precip_gtiff, gpras/preprocess.py:272-289)."""
+        from gpras_tpu.data.geometry import export_grid_qc
+
+        meta = self.hf_ras.get_precip_attributes(self.plans[0])
+        return export_grid_qc(
+            np.asarray(data, np.float32),
+            (float(meta["Raster Left"]), float(meta["Raster Top"])),
+            float(meta["Raster Cellsize"]), out_base,
+            crs_wkt=meta.get("Projection"), title="precip")
+
     def _aoi_in(self, dst_wkt: str | None) -> Polygon:
         """The AOI reprojected from the HF model CRS to ``dst_wkt`` (identity
         when either CRS is unknown or they match)."""
@@ -557,6 +583,22 @@ class HmsUpskillDataBuilder(DataBuilder):
         return rasterize_polygon(
             aoi, (upper_left_x, upper_left_y), pixel,
             (template.numberOfCellsY, template.numberOfCellsX), all_touched=True)
+
+    def export_rasterized_aoi(self, out_base: str) -> list[str]:
+        """QC dump of the AOI mask on the HMS DSS grid (reference
+        gpras/preprocess.py:253-270 equivalent for the HMS path)."""
+        from gpras_tpu.data.dss import open_dss
+        from gpras_tpu.data.geometry import export_grid_qc
+
+        dss = open_dss(str(Path(self.precip_dss_dir) / f"{self.plans[0]}.dss"))
+        template = dss.get(str(next(iter(dss.get_catalog()))))
+        pixel = template.cellSize
+        top = (template.lowerLeftCellY + template.numberOfCellsY) * pixel
+        return export_grid_qc(
+            self._aoi_precip_mask.astype(np.int32),
+            (template.lowerLeftCellX * pixel, top), pixel, out_base,
+            crs_wkt=getattr(template, "srsDefinition", None),
+            title="rasterized AOI (HMS grid)")
 
 
 class PseudoSurfaceDataBuilder(DataBuilder):

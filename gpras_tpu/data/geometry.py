@@ -255,3 +255,46 @@ def rasterize_polygon(
                 pts = centers + np.array([dx, dy]) * pixel_size
                 mask |= poly.contains_points(pts).reshape(shape)
     return mask
+
+
+def export_grid_qc(data: np.ndarray, upper_left: tuple[float, float],
+                   pixel_size: float, out_base: str,
+                   crs_wkt: str | None = None, title: str = "") -> list[str]:
+    """Write a georeferenced QC dump of a raster-grid array — the capability
+    of the reference's debug GeoTIFF exports (_export_rasterized_aoi /
+    _export_precip_gtiff, gpras/preprocess.py:253-289) without rasterio:
+
+    - ``<out_base>.npz``: the array plus the north-up grid georeferencing
+      (upper-left corner, pixel size, CRS WKT) — everything a GIS reimport
+      needs;
+    - ``<out_base>.png``: a rendered image with coordinate axes for eyeball
+      QC (skipped, with the npz still written, if matplotlib is missing).
+
+    Returns the list of paths written.
+    """
+    data = np.asarray(data)
+    x0, y0 = float(upper_left[0]), float(upper_left[1])
+    paths = [f"{out_base}.npz"]
+    np.savez(paths[0], data=data, upper_left=np.array([x0, y0]),
+             pixel_size=np.float64(pixel_size),
+             crs_wkt=np.str_(crs_wkt or ""))
+    try:
+        import matplotlib
+        matplotlib.use("Agg")
+        import matplotlib.pyplot as plt
+    except Exception:
+        return paths
+    rows, cols = data.shape[-2], data.shape[-1]
+    fig, ax = plt.subplots(figsize=(8, 8 * rows / max(cols, 1)))
+    im = ax.imshow(np.asarray(data, np.float64),
+                   extent=(x0, x0 + cols * pixel_size,
+                           y0 - rows * pixel_size, y0),
+                   origin="upper", interpolation="nearest")
+    fig.colorbar(im, ax=ax, shrink=0.8)
+    ax.set_title(title or out_base)
+    ax.set_xlabel("x")
+    ax.set_ylabel("y")
+    fig.savefig(f"{out_base}.png", dpi=120, bbox_inches="tight")
+    plt.close(fig)
+    paths.append(f"{out_base}.png")
+    return paths

@@ -360,3 +360,40 @@ def test_flow_file_observed_time_series_roundtrip():
     assert g.emit() == text
     assert text.index("Boundary Location=") < text.index(
         "Observed Time Series=") < text.index("Precipitation Mode=")
+
+
+def test_export_rasterized_aoi_qc_dump(tmp_path):
+    """The QC escape hatch for the rasterized AOI (reference
+    gpras/preprocess.py:253-289 debug GeoTIFFs): npz with full
+    georeferencing + a rendered PNG, reimportable and matching the mask."""
+    import tests.fixtures as fx
+    from gpras_tpu.data.builders import DataBuilder
+    from gpras_tpu.data.geometry import Polygon
+
+    plans = ["e1"]
+    rows, cols = 6, 5
+    meta = {"Raster Cellsize": 1.0, "Raster Left": 0.0, "Raster Top": 6.0,
+            "Raster Rows": rows, "Raster Cols": cols}
+    precip = np.abs(np.random.default_rng(0).normal(
+        size=(4, rows * cols))).astype(np.float32)
+    proj = fx.make_project(tmp_path / "hf", "hfm", nx=4, ny=4, cell=1.0,
+                           plans=plans, precip=precip, precip_meta=meta)
+    model = RasModel.from_stac(proj["stac"])
+    aoi = Polygon(np.array([[0.5, 0.5], [3.5, 0.5], [3.5, 3.5], [0.5, 3.5]]))
+    b = DataBuilder(hf_ras=model, mesh_id=fx.MESH_ID, plans=plans,
+                    area_of_interest=aoi)
+    paths = b.export_rasterized_aoi(str(tmp_path / "aoi_qc"))
+    assert str(tmp_path / "aoi_qc.npz") in paths
+    back = np.load(tmp_path / "aoi_qc.npz")
+    np.testing.assert_array_equal(back["data"].astype(bool),
+                                  b._rasterized_aoi)
+    np.testing.assert_allclose(back["upper_left"], [0.0, 6.0])
+    assert float(back["pixel_size"]) == 1.0
+    if len(paths) > 1:  # matplotlib present in this environment
+        assert (tmp_path / "aoi_qc.png").stat().st_size > 0
+    # one precip timestep through the same georeferencing
+    paths2 = b.export_precip_qc(precip[0].reshape(rows, cols),
+                                str(tmp_path / "precip_qc"))
+    back2 = np.load(tmp_path / "precip_qc.npz")
+    np.testing.assert_allclose(back2["data"],
+                               precip[0].reshape(rows, cols), rtol=1e-6)
