@@ -62,3 +62,40 @@ def pca_fit(x: Array, n_components: int | None = None) -> tuple[Array, Array]:
     signs = jnp.sign(comps[jnp.arange(comps.shape[0]), idx])
     signs = jnp.where(signs == 0, 1.0, signs)
     return comps * signs[:, None], explained
+
+
+def pca_fit_reference(x, n_components: int | None = None):
+    """Pure-numpy mirror of :func:`pca_fit` (same Gram/covariance trick, same
+    rank guard and sign convention) — the host path for sub-threshold inputs
+    (see eof.preprocessor) and the CPU test reference.
+
+    On relay-attached TPUs every distinct jitted program pays an executable
+    load plus dispatch round trips; for the small matrices of a typical
+    project-fitting session that overhead dwarfs the math (measured 85.6 s
+    vs 0.5 s for the pipeline preprocess phase, docs/PERFORMANCE.md), so
+    tiny decompositions stay on the host.
+    """
+    import numpy as np
+
+    x = np.asarray(x)
+    s, f = x.shape
+    k = min(s, f) if n_components is None else min(n_components, min(s, f))
+    if s <= f:
+        g = x @ x.T
+        evals, evecs = np.linalg.eigh(g)
+        evals = evals[::-1][:k]
+        u = evecs[:, ::-1][:, :k]
+        sigma = np.sqrt(np.maximum(evals, 1e-30))
+        comps = (x.T @ (u / sigma[None, :])).T
+        rank_ok = evals > 1e-12 * max(float(evals[0]) if k else 0.0, 1e-30)
+        comps = np.where(rank_ok[:, None], comps, 0.0)
+    else:
+        c = x.T @ x
+        evals, evecs = np.linalg.eigh(c)
+        evals = evals[::-1][:k]
+        comps = evecs[:, ::-1][:, :k].T
+    explained = np.maximum(evals, 0.0) / (s - 1)
+    idx = np.argmax(np.abs(comps), axis=1)
+    signs = np.sign(comps[np.arange(comps.shape[0]), idx])
+    signs = np.where(signs == 0, 1.0, signs)
+    return comps * signs[:, None], explained

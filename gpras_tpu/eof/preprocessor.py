@@ -13,11 +13,17 @@ field and propagates posterior variance through the squared linear inverse map
 (gpras/preprocess.py:1081-1094).
 
 State is kept as host numpy arrays (cheap, serializable without pickle); compute
-dispatches to jitted JAX functions.
+dispatches to jitted JAX functions — EXCEPT for sub-threshold inputs, which
+stay on the host: on relay-attached TPUs each distinct jitted program pays an
+executable load plus ~40 ms dispatch round trips, which dwarfs the math for
+small project fits (measured 85.6 s vs 0.5 s for the pipeline preprocess
+phase, docs/PERFORMANCE.md). ``GPRAS_EOF_HOST_ELEMENTS`` (default 2^22
+elements, ~16 MB float32) sets the crossover; 0 forces everything on device.
 """
 
 from __future__ import annotations
 
+import os
 from functools import partial
 from os import PathLike
 from typing import Any, Literal
@@ -26,11 +32,17 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from gpras_tpu.eof.pca import pca_fit
+from gpras_tpu.eof.pca import pca_fit, pca_fit_reference
 from gpras_tpu.utils.serialization import load_artifact, save_artifact
 
 Array = jax.Array
 HydraulicParameterType = Literal["wse", "depth", "velocity"]
+
+
+def _host_small(*arrays: np.ndarray) -> bool:
+    """True when every operand is below the host/device crossover."""
+    thresh = int(os.environ.get("GPRAS_EOF_HOST_ELEMENTS", str(1 << 22)))
+    return all(a.size <= thresh for a in arrays)
 
 
 def compute_norths_rule(eigenvalues: np.ndarray, n_samples: int) -> int:
@@ -53,13 +65,26 @@ def compute_norths_rule(eigenvalues: np.ndarray, n_samples: int) -> int:
 
 
 @jax.jit
-def _project(x: Array, eofs: Array) -> Array:
+def _project_device(x: Array, eofs: Array) -> Array:
     return jnp.matmul(x, eofs.T, preferred_element_type=x.dtype)
 
 
 @jax.jit
-def _reconstruct(modes: Array, eofs: Array) -> Array:
+def _reconstruct_device(modes: Array, eofs: Array) -> Array:
     return jnp.matmul(modes, eofs, preferred_element_type=modes.dtype)
+
+
+def _project(x: np.ndarray, eofs: np.ndarray) -> np.ndarray:
+    if _host_small(x, eofs):
+        return np.asarray(x) @ np.asarray(eofs).T
+    return np.asarray(_project_device(jnp.asarray(x), jnp.asarray(eofs)))
+
+
+def _reconstruct(modes: np.ndarray, eofs: np.ndarray) -> np.ndarray:
+    if _host_small(modes, eofs):
+        return np.asarray(modes) @ np.asarray(eofs)
+    return np.asarray(_reconstruct_device(jnp.asarray(modes),
+                                          jnp.asarray(eofs)))
 
 
 class PreProcessor:
@@ -137,7 +162,10 @@ class PreProcessor:
             self.weights = np.asarray(weights)[~self.dry_indices]
             x = x * self.weights
 
-        comps, explained = pca_fit(jnp.asarray(x))
+        if _host_small(x):
+            comps, explained = pca_fit_reference(x)
+        else:
+            comps, explained = pca_fit(jnp.asarray(x))
         comps = np.asarray(comps)
         explained = np.asarray(explained)
         n = x.shape[0]
@@ -151,7 +179,7 @@ class PreProcessor:
         self.eigenvalues = explained
         self.n_samples_fit = n
 
-        xp = np.asarray(_project(jnp.asarray(x), jnp.asarray(self.eofs)))
+        xp = _project(x, self.eofs)
         self.x_mean = xp.mean(axis=0)
         x_std = xp.std(axis=0)
         # a rank-deficient field (or user-forced mode count beyond the rank)
@@ -172,7 +200,7 @@ class PreProcessor:
         x = x - self.input_mean
         if self.weights is not None:
             x = x * self.weights
-        xp = np.asarray(_project(jnp.asarray(x), jnp.asarray(self.eofs)))
+        xp = _project(x, self.eofs)
         return (xp - self.x_mean) / self.x_std
 
     def wse_2_depth(self, x: np.ndarray) -> np.ndarray:
@@ -187,7 +215,7 @@ class PreProcessor:
         (depth); optional posterior-variance propagation through the squared
         linear inverse map (gpras/preprocess.py:1052-1094)."""
         mean = np.asarray(mean) * self.x_std + self.x_mean
-        mean = np.asarray(_reconstruct(jnp.asarray(mean), jnp.asarray(self.eofs)))
+        mean = _reconstruct(mean, self.eofs)
         if self.weights is not None:
             mean = mean / self.weights
         mean = mean + self.input_mean
@@ -199,9 +227,7 @@ class PreProcessor:
         x_full[:, ~self.dry_indices] = mean
         if var is None:
             return x_full
-        var_prop = np.asarray(
-            _reconstruct(jnp.asarray(np.asarray(var)), jnp.asarray(self._linear_transform_for_var))
-        )
+        var_prop = _reconstruct(np.asarray(var), self._linear_transform_for_var)
         var_full = np.empty((var_prop.shape[0], self.dry_indices.shape[0]), dtype=var_prop.dtype)
         var_full[:, self.dry_indices] = 0
         var_full[:, ~self.dry_indices] = var_prop
@@ -334,7 +360,10 @@ class HmsPreProcessor:
         self.precip_mask = np.asarray(precip_mask)
         x_precip = x[:, self.precip_mask]
 
-        comps, explained = pca_fit(jnp.asarray(x_precip))
+        if _host_small(x_precip):
+            comps, explained = pca_fit_reference(x_precip)
+        else:
+            comps, explained = pca_fit(jnp.asarray(x_precip))
         comps, explained = np.asarray(comps), np.asarray(explained)
         n = x_precip.shape[0]
         if precip_spatial_mode_count is None:
@@ -364,7 +393,7 @@ class HmsPreProcessor:
         ev = event_ids if self.event_reset else None
         api_1 = self.calc_antecedent_precipitation_index(avg_precip, event_ids=ev)
         api_2 = self.calc_antecedent_precipitation_index(avg_precip, k=1, event_ids=ev)
-        precip_reduced = np.asarray(_project(jnp.asarray(x_precip), jnp.asarray(self.eofs)))
+        precip_reduced = _project(x_precip, self.eofs)
         return np.concatenate([x_bc, precip_reduced, avg_precip[:, None], api_1, api_2], axis=1)
 
     def transform(self, x: np.ndarray,

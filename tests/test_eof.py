@@ -178,3 +178,47 @@ def test_hms_preprocessor_event_reset_flag_round_trip(tmp_path):
     hp_flat = HmsPreProcessor()
     hp_flat.fit(x, bc_mask, ~bc_mask, precip_spatial_mode_count=2)
     assert not np.allclose(hp_flat.transform(x), feats)
+
+
+def test_pca_fit_reference_matches_device_path():
+    """The host (numpy) PCA used for sub-threshold inputs must agree with the
+    jitted Gram-trick path in both orientations (S<=F and S>F)."""
+    import numpy as np
+    import jax.numpy as jnp
+
+    from gpras_tpu.eof.pca import pca_fit, pca_fit_reference
+
+    rng = np.random.default_rng(11)
+    for s, f in ((12, 40), (40, 12)):
+        x = rng.normal(size=(s, f))
+        x -= x.mean(axis=0)
+        comps_d, ev_d = pca_fit(jnp.asarray(x))
+        comps_h, ev_h = pca_fit_reference(x)
+        k = min(s, f) - 1  # drop the ~0-eigenvalue centering direction
+        np.testing.assert_allclose(np.asarray(ev_d)[:k], ev_h[:k], rtol=1e-8)
+        np.testing.assert_allclose(np.asarray(comps_d)[:k], comps_h[:k],
+                                   rtol=1e-6, atol=1e-8)
+
+
+def test_preprocessor_host_and_device_paths_agree(monkeypatch):
+    """GPRAS_EOF_HOST_ELEMENTS=0 forces the device path; the default takes
+    the host path for this small field — both must produce the same
+    transform/reverse_transform results."""
+    import numpy as np
+
+    from gpras_tpu.eof.preprocessor import PreProcessor
+
+    rng = np.random.default_rng(3)
+    x = np.maximum(rng.normal(size=(30, 64)) + 1.0, 0.0)
+    elev = np.zeros(64)
+
+    results = []
+    for thresh in ("0", str(1 << 30)):
+        monkeypatch.setenv("GPRAS_EOF_HOST_ELEMENTS", thresh)
+        p = PreProcessor(hydraulic_parameter="depth")
+        p.fit(x, elev)
+        modes = p.transform(x)
+        mean, var = p.reverse_transform(modes, np.abs(modes) * 0.1)
+        results.append((modes, mean, var))
+    for a, b in zip(results[0], results[1]):
+        np.testing.assert_allclose(a, b, rtol=1e-5, atol=1e-8)
