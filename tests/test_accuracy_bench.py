@@ -47,3 +47,24 @@ def test_paths_agree_and_calibrate():
     assert 0.5 < s["depth_rmse_ratio_f32_over_f64"] < 2.0
     assert 0.5 < s["coverage_2sigma_f32"] <= 1.0
     assert 0.5 < s["coverage_2sigma_f64"] <= 1.0
+
+
+def test_exact_engine_accuracy_paths_small(tmp_path):
+    """The exact-engine north star (accuracy.run_exact_path) end-to-end at
+    toy size: f32 production fit -> f64 dense gold with matched
+    hyperparameters -> summary; the numerics gap must be far below the
+    statistical error, and coverage sane."""
+    from gpras_tpu import accuracy
+
+    cfg = {"n_train": 512, "n_test": 128, "max_iter": 150,
+           "warm_start_subsample": 0}
+    accuracy.run_exact_path("f32", str(tmp_path), cfg)
+    accuracy.run_exact_path("f64", str(tmp_path), cfg)
+    f32 = dict(np.load(tmp_path / "exact_f32.npz"))
+    f64 = dict(np.load(tmp_path / "exact_f64.npz"))
+    s = accuracy.summarize_exact(f32, f64, cfg)
+    assert s["exact_rmse_f64_gold"] < 0.5
+    # numerics gap well under the truth-error; ratio ~1
+    assert s["exact_rmse_vs_f64"] < 0.25 * s["exact_rmse_f64_gold"]
+    assert 0.8 < s["exact_rmse_ratio_f32_over_f64"] < 1.25
+    assert s["exact_coverage_2sigma_f32"] > 0.85
