@@ -16,8 +16,11 @@ identity blocks with the already-computed factor, contracting each batch with
 dK/dtheta via a local-tile vjp of the Gram build and a psum over the mesh.
 Per-device backward compute is O(N^2 * batch) per batch (the solves run
 redundantly — the factor strip is distributed but every device walks all
-blocks); memory stays O(N^2/d + N*batch). A stochastic (Hutchinson) trace
-backward is the planned upgrade for the largest N.
+blocks); memory stays O(N^2/d + N*batch). For the largest N,
+``make_dist_nlml_stochastic`` swaps in a Hutchinson stochastic-trace
+backward (one distributed (N, m) probe solve + outer-product cotangents,
+O(N^2 (d + m)) per step — the same estimator as the single-chip headline
+engine, gp/exact_stochastic.py).
 """
 
 from __future__ import annotations
@@ -207,18 +210,138 @@ def make_dist_nlml(mesh: Mesh, kernel: str, b: int = 128, col_batch: int = 256,
     return nlml
 
 
+def make_dist_nlml_stochastic(mesh: Mesh, kernel: str, b: int = 128,
+                              col_batch: int = 256, layout: str = "auto",
+                              probes: int = 16):
+    """Returns ``nlml(params, x, y, key)``: the distributed NLML with a
+    Hutchinson stochastic-trace backward — the large-N upgrade over
+    :func:`make_dist_nlml`'s exact backward.
+
+    The exact backward reconstructs all N columns of K^{-1} through
+    distributed solves (O(N^3) per step — it re-does a factorization-sized
+    job batch by batch). Here the trace term uses m Rademacher probes
+    (gp/exact_stochastic.py, the same estimator the single-chip headline
+    engine runs): ONE distributed solve of the (N, m) probe block, then the
+    rank-(m+1) cotangent  Kbar = 0.5 g [(1/m) W Z^T - alpha alpha^T]  is
+    contracted against the Gram jacobian one column batch at a time with
+    outer products instead of solves — O(N^2 (d + m)) per step. Layout
+    semantics (1-D / 2-D tiling of the contraction) match make_dist_nlml.
+    Gradients are unbiased; pass a fresh ``key`` per step."""
+    layout = resolve_layout(mesh, layout)
+    if layout == "2d":
+        from gpras_tpu.parallel.pcholesky2d import dist_cho_solve_2d
+        solver = lambda l, rhs: dist_cho_solve_2d(mesh, l, rhs, b=b)
+    else:
+        solver = lambda l, rhs: dist_cho_solve(mesh, l, rhs, b=b)
+
+    @jax.custom_vjp
+    def nlml(params, x, y, key):
+        return dist_nlml_forward(mesh, kernel, params, x, y, b=b,
+                                 layout=layout)[0]
+
+    def fwd(params, x, y, key):
+        out, (l, alpha) = dist_nlml_forward(mesh, kernel, params, x, y, b=b,
+                                            layout=layout)
+        return out, (params, x, l, alpha, key)
+
+    def bwd(res, g):
+        params, x, l, alpha, key = res
+        n = x.shape[0]
+        dj = mesh.shape["j"] if layout == "2d" else 1
+        c = min(col_batch, n)
+        while c >= dj and (n % c != 0 or c % dj != 0):
+            c -= 1
+        if c < dj or n % c != 0 or c % dj != 0:
+            raise ValueError(
+                f"no column batch <= {col_batch} divides N={n} and is a "
+                f"multiple of the mesh 'j' axis ({dj}); raise col_batch")
+        nbatch = n // c
+        z = jax.random.rademacher(key, (n, probes), dtype=x.dtype)
+        w = solver(l, z)  # ONE distributed (N, m) solve: K^{-1} Z
+        inv_m = jnp.asarray(1.0 / probes, x.dtype)
+
+        def local_contract(p, x_rows, x_cols, kbar_tile):
+            # pullback toward replicated p psums over the mesh via
+            # shard_map's varying-axis tracking — do NOT psum again
+            _, pullback = jax.vjp(
+                lambda pp: K.gram(kernel, pp, x_rows, x_cols), p)
+            (grads,) = pullback(kbar_tile)
+            return grads
+
+        if layout == "2d":
+            contract = shard_map(
+                local_contract, mesh=mesh,
+                in_specs=(jax.tree.map(lambda _: P(), params), P("i", None),
+                          P("j", None), P("i", "j")),
+                out_specs=jax.tree.map(lambda _: P(), params))
+        else:
+            contract = shard_map(
+                local_contract, mesh=mesh,
+                in_specs=(jax.tree.map(lambda _: P(), params), P("i", None),
+                          P(None, None), P("i", None)),
+                out_specs=jax.tree.map(lambda _: P(), params))
+
+        def batch_step(j, carry):
+            grads_acc, diag_acc = carry
+            cols = j * c + jnp.arange(c)
+            # rank-(m+1) cotangent: no solve — two skinny matmuls
+            kbar_cols = 0.5 * g * (
+                inv_m * jnp.matmul(w, z[cols].T, precision="high",
+                                   preferred_element_type=x.dtype)
+                - alpha[:, None] * alpha[cols][None, :])
+            diag_acc = diag_acc + jnp.sum(kbar_cols[cols, jnp.arange(c)])
+            grads_b = contract(params, x, x[cols], kbar_cols)
+            grads_acc = jax.tree.map(jnp.add, grads_acc, grads_b)
+            return grads_acc, diag_acc
+
+        zero_grads = jax.tree.map(jnp.zeros_like, params)
+        grads, diag_sum = jax.lax.fori_loop(
+            0, nbatch, batch_step, (zero_grads, jnp.zeros((), x.dtype)))
+        from gpras_tpu.ops import linalg
+
+        grads["log_noise_variance"] = grads["log_noise_variance"] + \
+            diag_sum * jnp.exp(params["log_noise_variance"])
+        grads["log_variance"] = grads["log_variance"] + \
+            diag_sum * linalg.default_jitter(x.dtype) * jnp.exp(params["log_variance"])
+        return grads, jnp.zeros_like(x), g * alpha, None
+
+    nlml.defvjp(fwd, bwd)
+    return nlml
+
+
 def make_dist_fit_step(mesh: Mesh, kernel: str, b: int = 128,
-                       learning_rate: float = 0.01, layout: str = "auto"):
+                       learning_rate: float = 0.01, layout: str = "auto",
+                       backward: str = "exact", probes: int = 16):
     """One jitted Adam step on the distributed NLML — the multi-chip training
     step (used by ``__graft_entry__.dryrun_multichip``). ``layout="auto"``
-    picks the 2-D P(i, j) engine on 2-D meshes (resolve_layout)."""
+    picks the 2-D P(i, j) engine on 2-D meshes (resolve_layout).
+    ``backward="hutchinson"`` swaps the exact O(N^3) backward for the
+    stochastic-trace one (make_dist_nlml_stochastic); the returned step then
+    takes and returns a PRNG key: ``step(params, opt_state, x, y, key)``."""
     import optax
 
     opt = optax.adam(learning_rate)
-    nlml = make_dist_nlml(mesh, kernel, b=b, layout=layout)
 
     def init(params):
         return opt.init(params)
+
+    if backward == "hutchinson":
+        nlml_s = make_dist_nlml_stochastic(mesh, kernel, b=b, layout=layout,
+                                           probes=probes)
+
+        @jax.jit
+        def step_h(params, opt_state, x, y, key):
+            key, sub = jax.random.split(key)
+            loss, grads = jax.value_and_grad(nlml_s)(params, x, y, sub)
+            updates, opt_state = opt.update(grads, opt_state, params)
+            params = optax.apply_updates(params, updates)
+            return params, opt_state, loss, key
+
+        return init, step_h
+    if backward != "exact":
+        raise ValueError(f"unknown backward {backward!r}; "
+                         "expected 'exact' or 'hutchinson'")
+    nlml = make_dist_nlml(mesh, kernel, b=b, layout=layout)
 
     @jax.jit
     def step(params, opt_state, x, y):

@@ -380,3 +380,36 @@ def test_pgram_2d_noise_diagonal():
     got = np.asarray(pgram_2d(mesh, "RBF", params, x, noise=0.37))
     want = np.asarray(K.gram("RBF", params, x)) + 0.37 * np.eye(N)
     np.testing.assert_allclose(got, want, rtol=1e-12, atol=1e-12)
+
+
+def test_dist_stochastic_backward_matches_exact():
+    """The distributed Hutchinson backward (make_dist_nlml_stochastic) is an
+    unbiased estimator of the exact distributed gradient: with many probes
+    the trace term concentrates, and the deterministic parts (quad term,
+    y_bar) match exactly. Checked on both mesh layouts."""
+    from gpras_tpu.parallel.pexact import (make_dist_nlml,
+                                           make_dist_nlml_stochastic)
+
+    n = 64
+    x, y = make_xy(n)
+    x, y = x.astype(jnp.float64), y.astype(jnp.float64)
+    params = exact.init_params("Matern52", x, noise_variance=0.3)
+
+    for mesh, layout in ((make_mesh((8,), ("i",)), "1d"),
+                         (make_mesh((4, 2), ("i", "j")), "2d")):
+        nlml_e = make_dist_nlml(mesh, "Matern52", b=8, col_batch=16,
+                                layout=layout)
+        val_e, grads_e = jax.value_and_grad(nlml_e)(params, x, y)
+        nlml_s = make_dist_nlml_stochastic(mesh, "Matern52", b=8,
+                                           col_batch=16, layout=layout,
+                                           probes=1024)
+        val_s, grads_s = jax.value_and_grad(nlml_s)(
+            params, x, y, jax.random.PRNGKey(7))
+        # forward value is the same deterministic factorization
+        np.testing.assert_allclose(float(val_s), float(val_e), rtol=1e-12,
+                                   err_msg=layout)
+        for k in grads_e:
+            ge, gs = np.asarray(grads_e[k]), np.asarray(grads_s[k])
+            scale = max(np.max(np.abs(ge)), 1e-3)
+            np.testing.assert_allclose(gs, ge, atol=0.15 * scale,
+                                       err_msg=f"{layout}:{k}")
