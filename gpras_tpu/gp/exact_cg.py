@@ -317,6 +317,30 @@ def make_cg_nlml(kernel: str, probes: int = 16, max_iters: int = 32,
         r = _fit_panel(n, col_panel)
         n_panels = n // r
         inv_m = 1.0 / probes
+        if n >= 2048 and kernel in K.STATIONARY_KERNELS and \
+                x.dtype == jnp.float32 and \
+                jax.devices()[0].platform == "tpu":
+            # fused Pallas contraction: the whole rank-(m+1) cotangent
+            # against dK/dtheta tile-by-tile in VMEM — no (N, panel) Gram
+            # tile, cotangent, or autodiff residual in HBM
+            # (ops/pallas_gram.pallas_kgrad); the O(N m) diagonal term for
+            # the noise/jitter gradient is computed directly
+            from gpras_tpu.ops.pallas_gram import pallas_kgrad
+
+            pg = pallas_kgrad(kernel, params, x, w, v, alpha, g=g,
+                              inv_m=inv_m)
+            diag_sum = 0.5 * g * (inv_m * jnp.sum(w * v)
+                                  - jnp.sum(alpha * alpha))
+            grads = jax.tree.map(jnp.zeros_like, params)
+            grads["log_variance"] = pg["log_variance"].astype(x.dtype)
+            grads["log_lengthscales"] = \
+                pg["log_lengthscales"].astype(x.dtype)
+            grads["log_noise_variance"] = grads["log_noise_variance"] + \
+                diag_sum * jnp.exp(params["log_noise_variance"])
+            grads["log_variance"] = grads["log_variance"] + \
+                diag_sum * linalg.default_jitter(x.dtype) * \
+                jnp.exp(params["log_variance"])
+            return grads, jnp.zeros_like(x), g * alpha, None
 
         def panel_step(j, carry):
             grads_acc, diag_acc = carry

@@ -113,6 +113,27 @@ def make_hutchinson_nlml(kernel: str, probes: int = 16, col_panel: int = 4096,
         z = jax.random.rademacher(key, (n, probes), dtype=x.dtype)
         w = solve_fn(l, z)  # (N, m): K^{-1} Z
         inv_m = 1.0 / probes
+        if n >= 2048 and kernel in K.STATIONARY_KERNELS and \
+                x.dtype == jnp.float32 and \
+                jax.devices()[0].platform == "tpu":
+            # fused Pallas cotangent contraction (see exact_cg.bwd): the
+            # panel loop's Gram tiles + autodiff residuals never hit HBM
+            from gpras_tpu.ops.pallas_gram import pallas_kgrad
+
+            pg = pallas_kgrad(kernel, params, x, w, z, alpha, g=g,
+                              inv_m=inv_m)
+            diag_sum = 0.5 * g * (inv_m * jnp.sum(w * z)
+                                  - jnp.sum(alpha * alpha))
+            grads = jax.tree.map(jnp.zeros_like, params)
+            grads["log_variance"] = pg["log_variance"].astype(x.dtype)
+            grads["log_lengthscales"] = \
+                pg["log_lengthscales"].astype(x.dtype)
+            grads["log_noise_variance"] = grads["log_noise_variance"] + \
+                diag_sum * jnp.exp(params["log_noise_variance"])
+            grads["log_variance"] = grads["log_variance"] + \
+                diag_sum * linalg.default_jitter(x.dtype) * \
+                jnp.exp(params["log_variance"])
+            return grads, jnp.zeros_like(x), g * alpha, None
 
         def panel_step(j, carry):
             grads_acc, diag_acc = carry

@@ -79,30 +79,52 @@ def _tile_body(kernel: str, a_ref, b_ref, var_ref, noise_ref, out_ref,
 
 
 def _kmv_body(kernel: str, a_ref, b_ref, v_ref, var_ref, noise_ref, out_ref,
-              tile_m: int, tile_n: int, square: bool):
+              tile_m: int, tile_n: int, square: bool, sub: int = 256):
     """One (TM, TN) covariance tile contracted with its V block, accumulated
-    into the row-tile output — the tile lives only in VMEM."""
+    into the row-tile output — the tile lives only in VMEM.
+
+    The tile is processed in ``sub``-column chunks: chunk c+1's covariance
+    evaluation (VPU transcendentals — the dominant cost) carries no data
+    dependence on chunk c's contraction (MXU), so the straight-line chunk
+    sequence lets Mosaic overlap the two units. Measured at N=131,072,
+    R=128: 2.4x over the monolithic body at sub=256 (identical results to
+    3e-7; sub=512 shows no overlap, sub=128 only partial)."""
     from jax.experimental import pallas as pl
 
-    k = _tile_value(kernel, a_ref[:], b_ref[:], var_ref[0, 0], noise_ref[0, 0],
-                    tile_m, tile_n, square)
+    a = a_ref[:]
+    v = v_ref[:]
+    var = var_ref[0, 0]
+    noise = noise_ref[0, 0]
+    i = pl.program_id(0)
+    j = pl.program_id(1)
+
     # Manual bf16_3x contraction: Mosaic only exposes DEFAULT (1 bf16 pass —
     # caps CG's reachable residual at ~1e-2) and HIGHEST (~6 passes). The
     # hi/lo split a.b ~= ah.bh + ah.bl + al.bh gives f32-grade accumulation
     # in 3 native MXU passes (dropped lo.lo term ~ 2^-16 relative), the same
     # tradeoff as XLA's 'high' everywhere else in the framework.
-    v = v_ref[:]
-    k_hi = k.astype(jnp.bfloat16)
-    k_lo = (k - k_hi.astype(jnp.float32)).astype(jnp.bfloat16)
-    v_hi = v.astype(jnp.bfloat16)
-    v_lo = (v - v_hi.astype(jnp.float32)).astype(jnp.bfloat16)
-
     def bdot(aa, bb):
         return jnp.dot(aa, bb, preferred_element_type=jnp.float32,
                        precision=jax.lax.Precision.DEFAULT)
 
-    contrib = bdot(k_hi, v_hi) + bdot(k_hi, v_lo) + bdot(k_lo, v_hi)
-    j = pl.program_id(1)
+    sub = min(sub, tile_n)
+    contrib = jnp.zeros((tile_m, v.shape[1]), jnp.float32)
+    for c in range(tile_n // sub):
+        b_sub = b_ref[c * sub:(c + 1) * sub, :]
+        k = _tile_value(kernel, a, b_sub, var, 0.0, tile_m, sub, False)
+        if square:
+            rows = i * tile_m + jax.lax.broadcasted_iota(
+                jnp.int32, (tile_m, sub), 0)
+            cols = j * tile_n + c * sub + jax.lax.broadcasted_iota(
+                jnp.int32, (tile_m, sub), 1)
+            k = jnp.where(rows == cols, k + noise, k)
+        v_sub = v[c * sub:(c + 1) * sub, :]
+        k_hi = k.astype(jnp.bfloat16)
+        k_lo = (k - k_hi.astype(jnp.float32)).astype(jnp.bfloat16)
+        v_hi = v_sub.astype(jnp.bfloat16)
+        v_lo = (v_sub - v_hi.astype(jnp.float32)).astype(jnp.bfloat16)
+        contrib = contrib + bdot(k_hi, v_hi) + bdot(k_hi, v_lo) \
+            + bdot(k_lo, v_hi)
 
     @pl.when(j == 0)
     def _init():
@@ -236,3 +258,180 @@ def pallas_kmv(kernel: str, params: dict[str, Array], x1: Array,
         interpret=interpret,
     )(a, b, v_p, var, nz)
     return out[:n1, :r]
+
+
+# ---------------------------------------------------------------------------
+# fused gradient contraction: sum_ij Kbar_ij dK_ij/dtheta without forming Kbar
+# or any (panel, N) tile in HBM. Kbar is the rank-(m+1) training cotangent
+#   Kbar = gh * [(1/m) W Z^T - alpha alpha^T]        (gh = 0.5 * g)
+# shared by the Hutchinson (gp/exact_stochastic.py) and BBMM/CG
+# (gp/exact_cg.py) backwards. Closed-form stationary-kernel derivatives with
+# u = ||a_i - a_j||^2 (pre-scaled coords), K = var * f(u):
+#   d log_variance    : <Kbar, var f(u)>
+#   d log_lengthscale : -2 var sum_ij Kbar_ij f'(u_ij) (a_id - a_jd)^2
+# expanded via (a-b)^2 = a^2 + b^2 - 2ab into row/col sums plus one
+# per-dimension bilinear term a_d^T M b_d with M = Kbar * var f'(u) — all
+# computed per VMEM tile with two small matmuls and accumulated into one
+# (8, 128) scratch block every grid step revisits.
+# ---------------------------------------------------------------------------
+
+
+def _f_fp(kernel: str, r2):
+    """(f(u), f'(u)) for K = var * f(u), u the scaled squared distance.
+
+    For the r-singular kernels (Matern12 / Exponential: f'(u) ~ 1/r as
+    r -> 0) the derivative is ZEROED below a distance floor — matching
+    autodiff through ``sqrt(max(r2, floor))`` (the max clamps the gradient
+    to 0 at coincident points) and, critically, keeping huge 1/r values out
+    of the sum expansion, whose (a-b)^2 = a^2+b^2-2ab regrouping would turn
+    them into catastrophic f32 cancellation (measured: 1e13-level garbage
+    on the lengthscale gradient before this guard)."""
+    if kernel == "RBF":
+        f = jnp.exp(-0.5 * r2)
+        return f, -0.5 * f
+    r = jnp.sqrt(jnp.maximum(r2, 1e-36))
+    # r2 > 1e-12 == r > 1e-6 scaled units: far below any distinct-point
+    # separation, far above the f32 cancellation threshold
+    inv2r = jnp.where(r2 > 1e-12, 0.5 / r, 0.0)
+    if kernel == "Matern12":
+        f = jnp.exp(-r)
+        return f, -f * inv2r
+    if kernel == "Matern32":
+        s3r = math.sqrt(3.0) * r
+        e = jnp.exp(-s3r)
+        return (1.0 + s3r) * e, -1.5 * e
+    if kernel == "Matern52":
+        s5r = math.sqrt(5.0) * r
+        e = jnp.exp(-s5r)
+        return (1.0 + s5r + (5.0 / 3.0) * r2) * e, \
+            -(5.0 / 6.0) * (1.0 + s5r) * e
+    if kernel == "Exponential":
+        f = jnp.exp(-0.5 * r)
+        return f, -0.5 * f * inv2r
+    raise ValueError(kernel)
+
+
+def _kgrad_body(kernel: str, a_ref, b_ref, wi_ref, zj_ref, ai_ref, aj_ref,
+                var_ref, gh_ref, invm_ref, acc_ref, tile: int, d: int):
+    from jax.experimental import pallas as pl
+
+    a = a_ref[:]          # (T, D) row block, pre-scaled
+    b = b_ref[:]          # (T, D) col block
+    var = var_ref[0, 0]
+    gh = gh_ref[0, 0]
+    inv_m = invm_ref[0, 0]
+
+    ab = jax.lax.dot_general(a, b, dimension_numbers=(((1,), (1,)), ((), ())),
+                             preferred_element_type=jnp.float32,
+                             precision=jax.lax.Precision.HIGHEST)
+    a2 = jnp.sum(a * a, axis=1, keepdims=True)
+    b2 = jnp.sum(b * b, axis=1, keepdims=True).T
+    r2 = jnp.maximum(a2 + b2 - 2.0 * ab, 0.0)
+    f, fp = _f_fp(kernel, r2)
+
+    # Kbar tile from the low-rank factors (bf16_3x contraction over m)
+    wi = wi_ref[:]        # (T, m)
+    zj = zj_ref[:]        # (T, m)
+    ai = ai_ref[:]        # (T, 1)
+    aj = aj_ref[:]        # (T, 1)
+
+    def bdot3(x1, x2t):
+        x1h = x1.astype(jnp.bfloat16)
+        x1l = (x1 - x1h.astype(jnp.float32)).astype(jnp.bfloat16)
+        x2h = x2t.astype(jnp.bfloat16)
+        x2l = (x2t - x2h.astype(jnp.float32)).astype(jnp.bfloat16)
+
+        def dd(p, q):
+            return jax.lax.dot_general(
+                p, q, dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.DEFAULT)
+
+        return dd(x1h, x2h) + dd(x1h, x2l) + dd(x1l, x2h)
+
+    kbar = gh * (inv_m * bdot3(wi, zj) - ai * aj.T)      # (T, T)
+
+    g_var = jnp.sum(kbar * (var * f))                     # scalar
+    m = kbar * (var * fp)                                 # (T, T)
+    row_s = jnp.sum(m, axis=1)                            # (T,)
+    col_t = jnp.sum(m, axis=0)                            # (T,)
+    # bilinear term per dim: a_d^T (M @ b_d)
+    mb = jnp.dot(m, b, preferred_element_type=jnp.float32,
+                 precision=jax.lax.Precision.HIGHEST)     # (T, D)
+    c_d = jnp.sum(a * mb, axis=0)                         # (D,)
+    s_d = jnp.sum((a * a) * row_s[:, None], axis=0)       # (D,)
+    t_d = jnp.sum((b * b) * col_t[:, None], axis=0)       # (D,)
+    g_ls = -2.0 * (s_d + t_d - 2.0 * c_d)                 # (D,)
+
+    i = pl.program_id(0)
+    j = pl.program_id(1)
+    first = (i == 0) & (j == 0)
+    lane = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 1)
+    sub = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 0)
+    ls_pad = jnp.zeros((128,), jnp.float32).at[:d].set(g_ls)
+    upd = jnp.where(sub == 0, ls_pad[None, :], 0.0) + \
+        jnp.where((sub == 1) & (lane == 0), g_var, 0.0)
+
+    @pl.when(first)
+    def _init():
+        acc_ref[:] = upd
+
+    @pl.when(~first)
+    def _acc():
+        acc_ref[:] = acc_ref[:] + upd
+
+
+def pallas_kgrad(kernel: str, params: dict[str, Array], x: Array,
+                 w: Array, z: Array, alpha: Array, g: Array,
+                 inv_m: float, interpret: bool = False,
+                 tile: int = 512) -> dict[str, Array]:
+    """Fused dNLML/dparams contraction for the rank-(m+1) cotangent.
+
+    Equivalent to the panel loop
+        for cols: Kbar_cols = 0.5 g [(1/m) W Z_cols^T - alpha alpha_cols^T]
+                  grads += vjp(K.gram)(Kbar_cols)
+    but computed tile-by-tile in VMEM: no (N, panel) Gram tile, cotangent
+    tile, or autodiff residuals ever reach HBM. Returns partial grads for
+    ``log_variance`` and ``log_lengthscales`` (the noise/jitter diagonal
+    term is O(N m) and stays outside — see the callers).
+
+    Everything except the Kbar low-rank contraction (bf16_3x, matching the
+    framework 'high' policy) runs at full f32.
+    """
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    n, d = x.shape
+    ls = jnp.exp(params["log_lengthscales"]).astype(jnp.float32)
+    a = _pad_rows(x.astype(jnp.float32) / ls, tile)
+    m_probes = w.shape[1]
+    # padded rows: W/Z/alpha zero -> their Kbar rows/cols vanish, and zero
+    # fp-weighted sums contribute nothing
+    w_p = _pad_rows(w.astype(jnp.float32), tile)
+    z_p = _pad_rows(z.astype(jnp.float32), tile)
+    al_p = _pad_rows(alpha.astype(jnp.float32).reshape(-1, 1), tile)
+    n_p = a.shape[0]
+    var = jnp.exp(params["log_variance"]).astype(jnp.float32).reshape(1, 1)
+    gh = (0.5 * jnp.asarray(g, jnp.float32)).reshape(1, 1)
+    invm = jnp.asarray(inv_m, jnp.float32).reshape(1, 1)
+
+    acc = pl.pallas_call(
+        partial(_kgrad_body, kernel, tile=tile, d=d),
+        grid=(n_p // tile, n_p // tile),
+        in_specs=[
+            pl.BlockSpec((tile, d), lambda i, j: (i, 0)),
+            pl.BlockSpec((tile, d), lambda i, j: (j, 0)),
+            pl.BlockSpec((tile, m_probes), lambda i, j: (i, 0)),
+            pl.BlockSpec((tile, m_probes), lambda i, j: (j, 0)),
+            pl.BlockSpec((tile, 1), lambda i, j: (i, 0)),
+            pl.BlockSpec((tile, 1), lambda i, j: (j, 0)),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+        ],
+        out_specs=pl.BlockSpec((8, 128), lambda i, j: (0, 0)),
+        out_shape=jax.ShapeDtypeStruct((8, 128), jnp.float32),
+        interpret=interpret,
+    )(a, a, w_p, z_p, al_p, al_p, var, gh, invm)
+    return {"log_variance": acc[1, 0],
+            "log_lengthscales": acc[0, :d]}
