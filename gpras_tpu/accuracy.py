@@ -192,7 +192,8 @@ def make_exact_problem(cfg: dict[str, Any] | None = None
     truth = f(x)
     y = truth + cfg["noise"] * rng.normal(size=n + m)
     return {"x_train": x[:n], "y_train": y[:n],
-            "x_test": x[n:], "truth_test": truth[n:]}
+            "x_test": x[n:], "truth_test": truth[n:],
+            "y_test": y[n:]}
 
 
 def run_exact_path(path: str, workdir: str,
@@ -262,14 +263,18 @@ def summarize_exact(f32: dict[str, np.ndarray], f64: dict[str, np.ndarray],
                     cfg: dict[str, Any] | None = None) -> dict[str, float]:
     """Headline numbers for the exact-engine comparison (noiseless truth)."""
     cfg = {**EXACT_CONFIG, **(cfg or {})}
-    truth = make_exact_problem(cfg)["truth_test"]
+    prob = make_exact_problem(cfg)
+    truth, y_test = prob["truth_test"], prob["y_test"]
 
     def rmse(a, b):
         return float(np.sqrt(np.mean((np.ravel(a) - np.ravel(b)) ** 2)))
 
     def coverage(pred, var):
+        # against the NOISY held-out observations: the predictive variance
+        # includes likelihood noise, so 2-sigma should cover ~95% — the
+        # noiseless-truth version saturates at 1.0 and carries no signal
         sig = np.sqrt(np.maximum(np.ravel(var), 0.0))
-        return float(np.mean(np.abs(truth - np.ravel(pred)) <= 2.0 * sig))
+        return float(np.mean(np.abs(y_test - np.ravel(pred)) <= 2.0 * sig))
 
     r32, r64 = rmse(f32["mean"], truth), rmse(f64["mean"], truth)
     return {
