@@ -358,19 +358,21 @@ def _kgrad_body(kernel: str, a_ref, b_ref, wi_ref, zj_ref, ai_ref, aj_ref,
     # bilinear term per dim: a_d^T (M @ b_d)
     mb = jnp.dot(m, b, preferred_element_type=jnp.float32,
                  precision=jax.lax.Precision.HIGHEST)     # (T, D)
-    c_d = jnp.sum(a * mb, axis=0)                         # (D,)
-    s_d = jnp.sum((a * a) * row_s[:, None], axis=0)       # (D,)
-    t_d = jnp.sum((b * b) * col_t[:, None], axis=0)       # (D,)
-    g_ls = -2.0 * (s_d + t_d - 2.0 * c_d)                 # (D,)
+    c_d = jnp.sum(a * mb, axis=0, keepdims=True)          # (1, D)
+    s_d = jnp.sum((a * a) * row_s[:, None], axis=0, keepdims=True)
+    t_d = jnp.sum((b * b) * col_t[:, None], axis=0, keepdims=True)
+    g_ls = -2.0 * (s_d + t_d - 2.0 * c_d)                 # (1, D)
 
     i = pl.program_id(0)
     j = pl.program_id(1)
     first = (i == 0) & (j == 0)
-    lane = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 1)
-    sub = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 0)
-    ls_pad = jnp.zeros((128,), jnp.float32).at[:d].set(g_ls)
-    upd = jnp.where(sub == 0, ls_pad[None, :], 0.0) + \
-        jnp.where((sub == 1) & (lane == 0), g_var, 0.0)
+    # lane/sublane placement via concatenate — Mosaic has no scatter lowering
+    row0 = jnp.concatenate(
+        [g_ls, jnp.zeros((1, 128 - d), jnp.float32)], axis=1)
+    row1 = jnp.concatenate(
+        [g_var.reshape(1, 1), jnp.zeros((1, 127), jnp.float32)], axis=1)
+    upd = jnp.concatenate(
+        [row0, row1, jnp.zeros((6, 128), jnp.float32)], axis=0)
 
     @pl.when(first)
     def _init():
