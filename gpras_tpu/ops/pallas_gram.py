@@ -85,10 +85,16 @@ def _kmv_body(kernel: str, a_ref, b_ref, v_ref, var_ref, noise_ref, out_ref,
 
     The tile is processed in ``sub``-column chunks: chunk c+1's covariance
     evaluation (VPU transcendentals — the dominant cost) carries no data
-    dependence on chunk c's contraction (MXU), so the straight-line chunk
-    sequence lets Mosaic overlap the two units. Measured at N=131,072,
-    R=128: 2.4x over the monolithic body at sub=256 (identical results to
-    3e-7; sub=512 shows no overlap, sub=128 only partial)."""
+    dependence on chunk c's contraction (MXU), exposing the overlap
+    opportunity to Mosaic's scheduler. Measured honestly at N=131,072,
+    R=128 (round 3): IN-GRAPH (inside the CG fori_loop, the production
+    context) the chunked and monolithic bodies both run ~225 ms/pass — the
+    serial VPU+MXU roofline; Mosaic does not currently exploit the ILP.
+    (A standalone-dispatch microbench suggested 2.4x, but that contrast was
+    relay-dispatch noise — per-dispatch overhead at this size is ~1.2 s,
+    5x the kernel itself. Results identical to 3e-7 either way; the
+    chunked structure is kept as it costs nothing and lets a future Mosaic
+    scheduler take the overlap.)"""
     from jax.experimental import pallas as pl
 
     a = a_ref[:]
