@@ -167,24 +167,44 @@ def bench_exact_fit(n: int, steps: int = 10, d: int = 8) -> float:
     if mode == "cg":
         # matrix-free BBMM (batched CG + SLQ): no (N, N) buffer at all —
         # the N >= 64k single-chip regime.
-        from gpras_tpu.gp.exact_cg import make_cg_training_loss
+        from gpras_tpu.gp.exact_cg import (make_cg_step_chunked,
+                                           make_cg_training_loss)
 
         iters = int(os.environ.get("GPRAS_BENCH_CG_ITERS", "32"))
         # the fused Pallas matvec lane-pads RHS to 128 columns, so 127 probes
         # (+1 for y) cost the same as 16 — free SLQ/trace accuracy
         probes = int(os.environ.get("GPRAS_BENCH_CG_PROBES", "127"))
         pc_rank = int(os.environ.get("GPRAS_BENCH_CG_PRECOND", "0"))
-        c_loss = make_cg_training_loss(kernel, probes=probes, max_iters=iters,
-                                       row_panel=4096, col_panel=4096,
-                                       precond_rank=pc_rank)
+        # Above ~262k one jitted step exceeds the tunneled worker's
+        # per-program execution budget and CRASHES it (measured: 24 CG
+        # iterations at 524k = ~166 s device time in one program). The
+        # host-chunked step dispatches the same math as several programs.
+        seg = int(os.environ.get("GPRAS_BENCH_CG_SEG",
+                                 "4" if n > 262144 else "0"))
+        if seg:
+            c_step = make_cg_step_chunked(kernel, probes=probes,
+                                          max_iters=iters, seg_iters=seg)
+            upd = jax.jit(lambda g_, s_, p_: opt.update(g_, s_, p_))
+            app = jax.jit(optax.apply_updates)
 
-        @jax.jit
-        def step(p, opt_state, key):
-            key, sub = jax.random.split(key)
-            loss, grads = jax.value_and_grad(c_loss)(p, x, y, sub)
-            updates, opt_state = opt.update(grads, opt_state, p)
-            p = optax.apply_updates(p, updates)
-            return p, opt_state, loss, key
+            def step(p, opt_state, key):
+                key, sub = jax.random.split(key)
+                loss, grads = c_step(p, x, y, sub)
+                updates, opt_state = upd(grads, opt_state, p)
+                p = app(p, updates)
+                return p, opt_state, loss, key
+        else:
+            c_loss = make_cg_training_loss(
+                kernel, probes=probes, max_iters=iters,
+                row_panel=4096, col_panel=4096, precond_rank=pc_rank)
+
+            @jax.jit
+            def step(p, opt_state, key):
+                key, sub = jax.random.split(key)
+                loss, grads = jax.value_and_grad(c_loss)(p, x, y, sub)
+                updates, opt_state = opt.update(grads, opt_state, p)
+                p = optax.apply_updates(p, updates)
+                return p, opt_state, loss, key
     elif mode == "hutchinson":
         h_step = _make_robust_step(kernel, x, y, n, opt)
 

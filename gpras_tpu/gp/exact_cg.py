@@ -170,10 +170,30 @@ def mbcg(matvec, b: Array, max_iters: int = 32, tol: float = 1e-6,
     n, r = b.shape
     if pinv is None:
         pinv = lambda v: v
+    carry, rz0, stop2 = _mbcg_init(b, max_iters, tol, pinv)
+    x, _, res, _, alphas, betas, _ = _mbcg_run(
+        matvec, carry, 0, max_iters, stop2, pinv)
+    return x, alphas, betas, rz0
+
+
+def _mbcg_init(b: Array, max_iters: int, tol: float, pinv):
+    """Initial mbcg carry + (rz0, stop2) — split out so the host-chunked
+    runner (cg_solves_chunked) can share the exact same state machine."""
+    r = b.shape[1]
     b2 = jnp.sum(b * b, axis=0)
     stop2 = (tol * tol) * b2
     z0 = pinv(b)
     rz0 = jnp.sum(b * z0, axis=0)
+    x0 = jnp.zeros_like(b)
+    alphas = jnp.zeros((max_iters, r), b.dtype)
+    betas = jnp.zeros((max_iters, r), b.dtype)
+    done0 = jnp.zeros((r,), bool)
+    return (x0, z0, b, rz0, alphas, betas, done0), rz0, stop2
+
+
+def _mbcg_run(matvec, carry, start: int, stop: int, stop2, pinv):
+    """fori_loop over mbcg iterations [start, stop) — identical math to the
+    monolithic loop, so segmenting changes nothing numerically."""
 
     def body(i, carry):
         x, p, res, rz, alphas, betas, done = carry
@@ -202,13 +222,7 @@ def mbcg(matvec, b: Array, max_iters: int = 32, tol: float = 1e-6,
         rz_next = jnp.where(done, rz, rz_new)
         return x, p, res, rz_next, alphas, betas, done
 
-    x0 = jnp.zeros_like(b)
-    alphas = jnp.zeros((max_iters, r), b.dtype)
-    betas = jnp.zeros((max_iters, r), b.dtype)
-    done0 = jnp.zeros((r,), bool)
-    x, _, res, _, alphas, betas, _ = jax.lax.fori_loop(
-        0, max_iters, body, (x0, z0, b, rz0, alphas, betas, done0))
-    return x, alphas, betas, rz0
+    return jax.lax.fori_loop(start, stop, body, carry)
 
 
 def _slq_logdet_from_coeffs(alphas: Array, betas: Array, b2: Array) -> Array:
@@ -310,64 +324,73 @@ def make_cg_nlml(kernel: str, probes: int = 16, max_iters: int = 32,
         return out, (params, x, alpha_y, w, v)
 
     def bwd(res, g):
-        # v = P^{-1} z under preconditioning (z itself otherwise):
-        # tr(K^{-1} dK) = E_{z~N(0,P)}[(K^{-1}z)^T dK (P^{-1}z)]
         params, x, alpha, w, v = res
-        n = x.shape[0]
-        r = _fit_panel(n, col_panel)
-        n_panels = n // r
-        inv_m = 1.0 / probes
-        if n >= 2048 and kernel in K.STATIONARY_KERNELS and \
-                x.dtype == jnp.float32 and \
-                jax.devices()[0].platform == "tpu":
-            # fused Pallas contraction: the whole rank-(m+1) cotangent
-            # against dK/dtheta tile-by-tile in VMEM — no (N, panel) Gram
-            # tile, cotangent, or autodiff residual in HBM
-            # (ops/pallas_gram.pallas_kgrad); the O(N m) diagonal term for
-            # the noise/jitter gradient is computed directly
-            from gpras_tpu.ops.pallas_gram import pallas_kgrad
-
-            pg = pallas_kgrad(kernel, params, x, w, v, alpha, g=g,
-                              inv_m=inv_m)
-            diag_sum = 0.5 * g * (inv_m * jnp.sum(w * v)
-                                  - jnp.sum(alpha * alpha))
-            grads = jax.tree.map(jnp.zeros_like, params)
-            grads["log_variance"] = pg["log_variance"].astype(x.dtype)
-            grads["log_lengthscales"] = \
-                pg["log_lengthscales"].astype(x.dtype)
-            grads["log_noise_variance"] = grads["log_noise_variance"] + \
-                diag_sum * jnp.exp(params["log_noise_variance"])
-            grads["log_variance"] = grads["log_variance"] + \
-                diag_sum * linalg.default_jitter(x.dtype) * \
-                jnp.exp(params["log_variance"])
-            return grads, jnp.zeros_like(x), g * alpha, None
-
-        def panel_step(j, carry):
-            grads_acc, diag_acc = carry
-            c0 = j * r
-            x_cols = jax.lax.dynamic_slice_in_dim(x, c0, r, axis=0)
-            v_cols = jax.lax.dynamic_slice_in_dim(v, c0, r, axis=0)
-            a_cols = jax.lax.dynamic_slice_in_dim(alpha, c0, r, axis=0)
-            kbar = 0.5 * g * (inv_m * (w @ v_cols.T)
-                              - alpha[:, None] * a_cols[None, :])
-            idx = jnp.arange(r)
-            diag_acc = diag_acc + jnp.sum(kbar[c0 + idx, idx])
-            _, pullback = jax.vjp(
-                lambda pp: K.gram(kernel, pp, x, x_cols), params)
-            (grads_t,) = pullback(kbar)
-            return jax.tree.map(jnp.add, grads_acc, grads_t), diag_acc
-
-        zero = jax.tree.map(jnp.zeros_like, params)
-        grads, diag_sum = jax.lax.fori_loop(
-            0, n_panels, panel_step, (zero, jnp.zeros((), x.dtype)))
-        grads["log_noise_variance"] = grads["log_noise_variance"] + \
-            diag_sum * jnp.exp(params["log_noise_variance"])
-        grads["log_variance"] = grads["log_variance"] + \
-            diag_sum * linalg.default_jitter(x.dtype) * jnp.exp(params["log_variance"])
+        grads = _cotangent_grads(kernel, params, x, alpha, w, v, g,
+                                 1.0 / probes, col_panel)
         return grads, jnp.zeros_like(x), g * alpha, None
 
     nlml.defvjp(fwd, bwd)
     return nlml
+
+
+def _cotangent_grads(kernel: str, params, x: Array, alpha: Array, w: Array,
+                     v: Array, g, inv_m: float, col_panel: int):
+    """dNLML/dparams from the rank-(m+1) cotangent
+    Kbar = 0.5 g [(1/m) W V^T - alpha alpha^T]  (v = P^{-1} z under
+    preconditioning, z itself otherwise:
+    tr(K^{-1} dK) = E_{z~N(0,P)}[(K^{-1}z)^T dK (P^{-1}z)]).
+
+    TPU f32 stationary path: the fused Pallas contraction
+    (ops/pallas_gram.pallas_kgrad) — no (N, panel) Gram tile, cotangent, or
+    autodiff residual in HBM; the O(N m) diagonal term for the noise/jitter
+    gradient is computed directly. Fallback: the Gram-vjp panel loop.
+    Shared by the jitted custom-VJP backward and the host-chunked step
+    (cg_value_and_grad_chunked)."""
+    n = x.shape[0]
+    if n >= 2048 and kernel in K.STATIONARY_KERNELS and \
+            x.dtype == jnp.float32 and \
+            jax.devices()[0].platform == "tpu":
+        from gpras_tpu.ops.pallas_gram import pallas_kgrad
+
+        pg = pallas_kgrad(kernel, params, x, w, v, alpha, g=g, inv_m=inv_m)
+        diag_sum = 0.5 * g * (inv_m * jnp.sum(w * v)
+                              - jnp.sum(alpha * alpha))
+        grads = jax.tree.map(jnp.zeros_like, params)
+        grads["log_variance"] = pg["log_variance"].astype(x.dtype)
+        grads["log_lengthscales"] = pg["log_lengthscales"].astype(x.dtype)
+        grads["log_noise_variance"] = grads["log_noise_variance"] + \
+            diag_sum * jnp.exp(params["log_noise_variance"])
+        grads["log_variance"] = grads["log_variance"] + \
+            diag_sum * linalg.default_jitter(x.dtype) * \
+            jnp.exp(params["log_variance"])
+        return grads
+
+    r = _fit_panel(n, col_panel)
+    n_panels = n // r
+
+    def panel_step(j, carry):
+        grads_acc, diag_acc = carry
+        c0 = j * r
+        x_cols = jax.lax.dynamic_slice_in_dim(x, c0, r, axis=0)
+        v_cols = jax.lax.dynamic_slice_in_dim(v, c0, r, axis=0)
+        a_cols = jax.lax.dynamic_slice_in_dim(alpha, c0, r, axis=0)
+        kbar = 0.5 * g * (inv_m * (w @ v_cols.T)
+                          - alpha[:, None] * a_cols[None, :])
+        idx = jnp.arange(r)
+        diag_acc = diag_acc + jnp.sum(kbar[c0 + idx, idx])
+        _, pullback = jax.vjp(
+            lambda pp: K.gram(kernel, pp, x, x_cols), params)
+        (grads_t,) = pullback(kbar)
+        return jax.tree.map(jnp.add, grads_acc, grads_t), diag_acc
+
+    zero = jax.tree.map(jnp.zeros_like, params)
+    grads, diag_sum = jax.lax.fori_loop(
+        0, n_panels, panel_step, (zero, jnp.zeros((), x.dtype)))
+    grads["log_noise_variance"] = grads["log_noise_variance"] + \
+        diag_sum * jnp.exp(params["log_noise_variance"])
+    grads["log_variance"] = grads["log_variance"] + \
+        diag_sum * linalg.default_jitter(x.dtype) * jnp.exp(params["log_variance"])
+    return grads
 
 
 def make_cg_training_loss(kernel: str, probes: int = 16, max_iters: int = 32,
@@ -378,6 +401,74 @@ def make_cg_training_loss(kernel: str, probes: int = 16, max_iters: int = 32,
         return nlml(params, x, y, key) - log_prior(params)
 
     return loss
+
+
+def make_cg_step_chunked(kernel: str, probes: int = 127, max_iters: int = 24,
+                         seg_iters: int = 4, col_panel: int = 4096,
+                         tol: float = 1e-6):
+    """Training-loss value + gradient for GIANT N, dispatched as several
+    device programs instead of one.
+
+    Why: the tunneled TPU worker enforces a per-program EXECUTION-time
+    budget. At N=524,288 the monolithic jitted step runs ~166 s of device
+    compute in one program and crashes the worker (measured round 3 by
+    bisection: the standalone matvec and a 3-iteration CG loop — ~21 s —
+    survive; a 24-iteration loop — ~166 s — reproducibly kills it; round 2
+    hit the same wall when honest bf16x3 matvecs tripled round 1's ~75 s
+    step). Chunking the CG loop into ``seg_iters``-iteration programs keeps
+    every execution far under the budget; the segments dispatch back-to-back
+    WITHOUT host synchronization (in-order device stream), so the only
+    overhead is per-dispatch latency, and the math is bit-identical to the
+    monolithic loop (_mbcg_run is the same state machine).
+
+    Returns ``step(params, x, y, key) -> (loss, grads)`` (host function;
+    the pieces are jitted and cached across calls). Unpreconditioned
+    (precond_rank=0 semantics — the bench unit)."""
+    if max_iters % seg_iters != 0:
+        raise ValueError(f"seg_iters {seg_iters} must divide max_iters "
+                         f"{max_iters}")
+    inv_m = 1.0 / probes
+    identity = lambda v: v
+
+    @jax.jit
+    def setup(params, x, y, key):
+        noise = jnp.exp(params["log_noise_variance"]) + \
+            linalg.default_jitter(x.dtype) * jnp.exp(params["log_variance"])
+        z = jax.random.rademacher(key, (x.shape[0], probes), dtype=x.dtype)
+        b = jnp.concatenate([y[:, None], z], axis=1)
+        carry, rz0, stop2 = _mbcg_init(b, max_iters, tol, identity)
+        return carry, rz0, stop2, z, noise
+
+    @partial(jax.jit, static_argnums=(4,))
+    def segment(params, x, carry, extras, i0):
+        noise, stop2 = extras
+        mv = lambda vv: kmv(kernel, params, x, vv, noise)
+        return _mbcg_run(mv, carry, i0, i0 + seg_iters, stop2, identity)
+
+    @jax.jit
+    def finish(params, x, y, carry, rz0, z):
+        sol, _, _, _, alphas, betas, _ = carry
+        n = x.shape[0]
+        alpha_y = sol[:, 0]
+        w = sol[:, 1:]
+        logdet = _slq_logdet_from_coeffs(alphas[:, 1:], betas[:, 1:],
+                                         rz0[1:])
+        quad = 0.5 * jnp.vdot(y, alpha_y)
+        loss = quad + 0.5 * logdet + 0.5 * n * math.log(2.0 * math.pi) \
+            - log_prior(params)
+        grads = _cotangent_grads(kernel, params, x, alpha_y, w, z,
+                                 jnp.ones((), x.dtype), inv_m, col_panel)
+        prior_grads = jax.grad(log_prior)(params)
+        grads = jax.tree.map(lambda a, b_: a - b_, grads, prior_grads)
+        return loss, grads
+
+    def step(params, x, y, key):
+        carry, rz0, stop2, z, noise = setup(params, x, y, key)
+        for i0 in range(0, max_iters, seg_iters):
+            carry = segment(params, x, carry, (noise, stop2), i0)
+        return finish(params, x, y, carry, rz0, z)
+
+    return step
 
 
 def kmv_cross(kernel: str, params: dict[str, Array], x1: Array, x2: Array,

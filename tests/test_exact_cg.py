@@ -175,3 +175,32 @@ def test_cg_predict_preconditioned_matches_dense_at_small_noise():
                            row_panel=32, var_chunk=32, precond_rank=24)
     np.testing.assert_allclose(np.asarray(mean), want_mean, rtol=1e-4, atol=1e-6)
     np.testing.assert_allclose(np.asarray(var), want_var, rtol=1e-3, atol=1e-6)
+
+
+def test_chunked_step_matches_monolithic():
+    """make_cg_step_chunked (host-segmented dispatch for giant N: the TPU
+    worker's per-program execution budget) must match the monolithic jitted
+    value_and_grad exactly — the segment runner is the same mbcg state
+    machine, so only jit-boundary fusion noise is allowed."""
+    from gpras_tpu.gp.exact_cg import (make_cg_step_chunked,
+                                       make_cg_training_loss)
+
+    n, d = 256, 3
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.normal(size=(n, d)), jnp.float32)
+    y = jnp.asarray(np.sin(np.asarray(x)[:, 0])
+                    + 0.1 * rng.normal(size=n), jnp.float32)
+    params = exact.init_params("Matern52", x, noise_variance=0.2)
+    key = jax.random.PRNGKey(7)
+
+    loss_fn = make_cg_training_loss("Matern52", probes=8, max_iters=12,
+                                    col_panel=64)
+    v_mono, g_mono = jax.value_and_grad(loss_fn)(params, x, y, key)
+    step = make_cg_step_chunked("Matern52", probes=8, max_iters=12,
+                                seg_iters=3, col_panel=64)
+    v_chunk, g_chunk = step(params, x, y, key)
+    np.testing.assert_allclose(float(v_chunk), float(v_mono), rtol=1e-5)
+    for k in g_mono:
+        np.testing.assert_allclose(np.asarray(g_chunk[k]),
+                                   np.asarray(g_mono[k]),
+                                   rtol=1e-4, atol=1e-5, err_msg=k)
