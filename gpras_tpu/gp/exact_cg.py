@@ -439,8 +439,10 @@ def make_cg_step_chunked(kernel: str, probes: int = 127, max_iters: int = 24,
         carry, rz0, stop2 = _mbcg_init(b, max_iters, tol, identity)
         return carry, rz0, stop2, z, noise
 
-    @partial(jax.jit, static_argnums=(4,))
+    @jax.jit
     def segment(params, x, carry, extras, i0):
+        # i0 traced (fori_loop lowers to while_loop): ONE compiled program
+        # serves every segment offset
         noise, stop2 = extras
         mv = lambda vv: kmv(kernel, params, x, vv, noise)
         return _mbcg_run(mv, carry, i0, i0 + seg_iters, stop2, identity)
