@@ -368,7 +368,8 @@ def bench_converged_fit(n: int, d: int = 8) -> dict:
     # stage A, warm-started full-N loss -43,039 vs the 600-step cold fit's
     # -42,872 — already inside the reference-rule tolerance band; 4096 costs
     # 6x the time for +4 nats)
-    n_sub = max(2048, n // 24)
+    n_sub = int(os.environ.get("GPRAS_BENCH_WARM_SUB", "0")) or \
+        max(2048, n // 24)
     stride = max(1, n // n_sub)
     x_sub, y_sub = x[::stride], y[::stride]
     a_loss = lambda pp: exact.training_loss(kernel, pp, x_sub, y_sub)
