@@ -127,15 +127,22 @@ class PosteriorPredictor:
                 return b
         return n  # beyond the ladder: compile for the exact size
 
-    def predict_modes(self, x: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
-        """(mean, variance) in EOF-mode space, padded-bucketed, compile-free
-        after warmup."""
+    def _predict_modes_padded(self, x: np.ndarray
+                              ) -> tuple[np.ndarray, np.ndarray, int]:
+        """(mean, variance, n) at the padded bucket size (rows >= n are
+        garbage from zero-padded queries and must be sliced off by callers)."""
         x = np.asarray(x)
         n = x.shape[0]
         b = self._bucket(n)
         if b > n:
             x = np.concatenate([x, np.zeros((b - n, x.shape[1]), x.dtype)])
         mean, var = self.model.predict(x)
+        return mean, var, n
+
+    def predict_modes(self, x: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+        """(mean, variance) in EOF-mode space, padded-bucketed, compile-free
+        after warmup."""
+        mean, var, n = self._predict_modes_padded(x)
         return mean[:n], var[:n]
 
     def predict_field(self, lf_field: np.ndarray, *, device_decode: bool = True
@@ -150,18 +157,33 @@ class PosteriorPredictor:
         if self.lf_pre is None or self.hf_pre is None:
             raise RuntimeError("predict_field requires preprocessor artifacts")
         x = self.lf_pre.transform(np.asarray(lf_field))
-        mean, var = self.predict_modes(x)
         if device_decode:
+            # decode at the PADDED bucket shape so the jitted decoder compiles
+            # once per bucket (decoding the sliced array would recompile for
+            # every distinct request size), then slice the valid rows
+            mean, var, n = self._predict_modes_padded(x)
             if self._decoder is None:
                 self._decoder = field_decoder_from_preprocessor(self.hf_pre)
             f, fv = self._decoder(np.asarray(mean, np.float64),
                                   np.asarray(var, np.float64))
-            return np.asarray(f), np.asarray(fv)
+            return np.asarray(f)[:n], np.asarray(fv)[:n]
+        mean, var = self.predict_modes(x)
         return self.hf_pre.reverse_transform(mean, var)
 
     def warmup(self, n_features: int | None = None) -> None:
-        """Compile every bucket up front (call at service start)."""
+        """Compile every bucket up front (call at service start); when the
+        EOF artifacts are loaded this includes the field-decode program, so
+        steady-state ``predict_field`` is fully compile-free."""
         if n_features is None:
             n_features = int(np.asarray(self.model.x).shape[1])
+        decode = None
+        if self.hf_pre is not None:
+            if self._decoder is None:
+                self._decoder = field_decoder_from_preprocessor(self.hf_pre)
+            decode = self._decoder
         for b in self.buckets:
-            self.predict_modes(np.zeros((b, n_features), dtype=np.float32))
+            mean, var = self.predict_modes(
+                np.zeros((b, n_features), dtype=np.float32))
+            if decode is not None:
+                decode(np.asarray(mean, np.float64),
+                       np.asarray(var, np.float64))

@@ -28,6 +28,14 @@ def test_quickstart_example(tmp_path):
     assert 0.0 <= cover <= 1.0
 
 
+def test_serving_example():
+    sv = _load("serving")
+    lat = sv.main(verbose=False, n_events=40, n_cells=300, n_modes=2,
+                  n_inducing=8, max_iter=10)
+    assert set(lat) == {1, 5, 17, 32}
+    assert all(dt > 0 for dt in lat.values())
+
+
 def test_distributed_example():
     df = _load("distributed_fit")
     loss2d, losses_h = df.main(verbose=False, b=8, steps=1)
