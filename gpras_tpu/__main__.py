@@ -6,6 +6,8 @@ Usage:
     python -m gpras_tpu cv <config.json> <sweep>   # kernels|modes|inducing|optimizers
     python -m gpras_tpu select-events <sst.pq> <out.stac.json> [...]
     python -m gpras_tpu make-runs <settings.json>
+    python -m gpras_tpu predict <model.npz> <in.npz> <out.npz> \
+        --hf-pre <hf.npz> --lf-pre <lf.npz>        # serve saved artifacts
     python -m gpras_tpu describe-config            # config field reference
 """
 
@@ -41,6 +43,20 @@ def main(argv: list[str] | None = None) -> int:
     mk_p = sub.add_parser("make-runs", help="generate HEC-RAS runs for selected events")
     mk_p.add_argument("settings")
 
+    pr_p = sub.add_parser(
+        "predict", help="serve predictions from saved artifacts")
+    pr_p.add_argument("model", help="GPRAS checkpoint (.npz)")
+    pr_p.add_argument("input", help="npz with LF cell fields under --key")
+    pr_p.add_argument("output", help="output npz (field + field_var)")
+    pr_p.add_argument("--hf-pre", required=True,
+                      help="high-fidelity PreProcessor artifact")
+    pr_p.add_argument("--lf-pre", required=True,
+                      help="low-fidelity PreProcessor artifact")
+    pr_p.add_argument("--key", default="fields",
+                      help="array key in the input npz (default: fields)")
+    pr_p.add_argument("--batch", type=int, default=4096,
+                      help="events per device dispatch")
+
     sub.add_parser("describe-config", help="print the config field reference")
 
     args = parser.parse_args(argv)
@@ -73,6 +89,33 @@ def main(argv: list[str] | None = None) -> int:
 
         manifest = make_runs_from_selected_events(args.settings)
         print(f"created {len(manifest)} runs")
+    elif args.cmd == "predict":
+        import numpy as np
+
+        from gpras_tpu.gp.serving import PosteriorPredictor
+
+        server = PosteriorPredictor(args.model,
+                                    hf_preprocessor_path=args.hf_pre,
+                                    lf_preprocessor_path=args.lf_pre)
+        with np.load(args.input) as z:
+            if args.key not in z:
+                raise SystemExit(
+                    f"key {args.key!r} not in {args.input} "
+                    f"(has: {', '.join(z.files)})")
+            fields = np.asarray(z[args.key])
+        if fields.ndim != 2:
+            raise SystemExit(f"--key {args.key!r} must be a 2-D "
+                             f"(events, cells) array, got {fields.shape}")
+        means, variances = [], []
+        for i in range(0, fields.shape[0], args.batch):
+            f, fv = server.predict_field(fields[i:i + args.batch])
+            means.append(f)
+            variances.append(fv)
+        np.savez_compressed(args.output,
+                            field=np.concatenate(means),
+                            field_var=np.concatenate(variances))
+        print(f"wrote {args.output}: {fields.shape[0]} events -> "
+              f"{means[0].shape[1]} cells")
     elif args.cmd == "describe-config":
         from gpras_tpu.pipeline.config import Config
 

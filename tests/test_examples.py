@@ -36,6 +36,25 @@ def test_serving_example():
     assert all(dt > 0 for dt in lat.values())
 
 
+def test_cli_predict_from_artifacts(tmp_path):
+    from gpras_tpu.__main__ import main
+
+    sv = _load("serving")
+    model, hf, lf = sv.train_and_save(str(tmp_path), n_events=24, n_cells=300,
+                                      n_modes=2, n_inducing=8, max_iter=10)
+    _, lf_fields, _ = sv.make_synthetic_flood(24, 300, seed=5)
+    np.savez(tmp_path / "in.npz", fields=lf_fields[:9])
+    out = tmp_path / "out.npz"
+    rc = main(["predict", model, str(tmp_path / "in.npz"), str(out),
+               "--hf-pre", hf, "--lf-pre", lf, "--batch", "4"])
+    assert rc == 0
+    with np.load(out) as z:
+        assert z["field"].shape == (9, 300)
+        assert z["field_var"].shape == (9, 300)
+        assert np.all(np.isfinite(z["field"]))
+        assert np.all(z["field_var"] >= 0.0)
+
+
 def test_distributed_example():
     df = _load("distributed_fit")
     loss2d, losses_h = df.main(verbose=False, b=8, steps=1)
