@@ -104,15 +104,17 @@ def _make_robust_step(kernel: str, x, y, n: int, opt):
     chol = os.environ.get("GPRAS_BENCH_CHOL", "super" if n >= 32768 else "xla")
     # strip temporaries are O(N * strip); at 49k the factor alone is
     # ~9.7 GB of the 16 GB HBM, so narrow the strips there (narrow strips
-    # also waste less of the strip's own upper triangle: measured 10.2 s
-    # at strip=4096 vs 11.5 s at 12288 for the 10-step fit at N=49152).
+    # also waste less of the strip's own upper triangle). Round-3 (w, strip)
+    # sweep of the 10-step fit at N=49152: (1024,4096) 9.34 s,
+    # (512,4096) 9.00, (1024,2048) 8.99, (1024,1024) 8.80,
+    # (512,2048) **8.68** — the two levers stack; (512,8192) 9.70 regresses
+    # and (512,1024)'s unrolled HLO blew the compile budget.
     strip = int(os.environ.get("GPRAS_BENCH_STRIP",
-                               16384 if n <= 32768 else 4096))
-    # w=1024 beats 2048 at large N (9.5 vs 10.2 s at 49152; 4.14 vs
-    # 4.58 s at 32768): the slow inner-diagonal factorization shrinks
-    # faster than the panel-solve count grows.
+                               16384 if n <= 32768 else 2048))
+    # narrower panels shed panel-solve FLOPs (O(N^2 w / 2)) faster than the
+    # serial inner-diagonal cost grows; 512 is the 49k sweet spot.
     chol_w = int(os.environ.get("GPRAS_BENCH_CHOL_W",
-                                2048 if n < 32768 else 1024))
+                                2048 if n < 32768 else 512))
     h_loss = make_hutchinson_training_loss(
         kernel, probes=16, col_panel=4096, chol=chol, chol_strip=strip,
         chol_w=chol_w)

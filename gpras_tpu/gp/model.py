@@ -304,9 +304,11 @@ class GPRAS:
                 # factor; at 49k the factor is 9.7 of 16 GB, so narrow the
                 # strips and panels. The boundaries deliberately differ at
                 # exactly 32768: w=1024 + strip=16384 is the measured best
-                # there (bench.py; 4.14 s vs 4.58 s for w=2048).
-                strip = 16384 if n <= 32768 else 4096
-                w = 2048 if n < 32768 else 1024
+                # there (bench.py; 4.14 s vs 4.58 s for w=2048); above it the
+                # round-3 sweep picked (w=512, strip=2048) — 8.68 vs 9.34 s
+                # for 10 steps at 49k (bench.py _make_robust_step).
+                strip = 16384 if n <= 32768 else 2048
+                w = 2048 if n < 32768 else 512
                 self._hutch_loss = make_hutchinson_training_loss(
                     self.kernel_str, chol=chol, chol_strip=strip, chol_w=w)
             return self._hutch_loss(params, self.x, y_i, jax.random.PRNGKey(0))
