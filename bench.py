@@ -108,7 +108,9 @@ def _make_robust_step(kernel: str, x, y, n: int, opt):
     # sweep of the 10-step fit at N=49152: (1024,4096) 9.34 s,
     # (512,4096) 9.00, (1024,2048) 8.99, (1024,1024) 8.80,
     # (512,2048) **8.68** — the two levers stack; (512,8192) 9.70 regresses
-    # and (512,1024)'s unrolled HLO blew the compile budget.
+    # and (512,1024)'s unrolled HLO blew the compile budget. Width bracket
+    # at strip=2048: 256 -> 11.64 (serial inner-diagonal dominates),
+    # 768 -> 8.82, 512 is the optimum.
     strip = int(os.environ.get("GPRAS_BENCH_STRIP",
                                16384 if n <= 32768 else 2048))
     # narrower panels shed panel-solve FLOPs (O(N^2 w / 2)) faster than the
