@@ -88,17 +88,11 @@ def _make_data(n: int, d: int, dtype):
     return jnp.asarray(x, dtype), jnp.asarray(y, dtype)
 
 
-def _make_robust_step(kernel: str, x, y, n: int, opt):
-    """The production large-N training step: Hutchinson stochastic-trace loss
-    over the in-place super-panel factorization, a GPyTorch-style noise floor,
-    and AMP-style non-finite step rejection (revert to the last good iterate).
-    State: (params, opt_state, good_params, good_opt, key)."""
-    import math
-
-    import jax
-    import jax.numpy as jnp
-    import optax
-
+def _robust_loss(kernel: str, n: int):
+    """The production large-N training loss (Hutchinson stochastic-trace
+    gradient over the in-place super-panel factorization), with the
+    env-tunable engine knobs shared by the step builder and the
+    forward-only band certification."""
     from gpras_tpu.gp.exact_stochastic import make_hutchinson_training_loss
 
     chol = os.environ.get("GPRAS_BENCH_CHOL", "super" if n >= 32768 else "xla")
@@ -117,9 +111,23 @@ def _make_robust_step(kernel: str, x, y, n: int, opt):
     # serial inner-diagonal cost grows; 512 is the 49k sweet spot.
     chol_w = int(os.environ.get("GPRAS_BENCH_CHOL_W",
                                 2048 if n < 32768 else 512))
-    h_loss = make_hutchinson_training_loss(
+    return make_hutchinson_training_loss(
         kernel, probes=16, col_panel=4096, chol=chol, chol_strip=strip,
         chol_w=chol_w)
+
+
+def _make_robust_step(kernel: str, x, y, n: int, opt):
+    """The production large-N training step: Hutchinson stochastic-trace loss
+    over the in-place super-panel factorization, a GPyTorch-style noise floor,
+    and AMP-style non-finite step rejection (revert to the last good iterate).
+    State: (params, opt_state, good_params, good_opt, key)."""
+    import math
+
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    h_loss = _robust_loss(kernel, n)
     log_floor = math.log(float(os.environ.get("GPRAS_BENCH_NOISE_FLOOR",
                                               "1e-4")))
 
@@ -273,10 +281,14 @@ def bench_converged_fit(n: int, d: int = 8) -> dict:
       (Adam from standard init, host loop applying the stopping rule).
 
     The warm-started fit: stage A = fully-jitted converged dense fit on a
-    uniform max(2048, N/24) subsample (same lr, on device); stage B = full-N
-    steps from stage-A params until the loss enters the band
-    (<= L* + 1e-5|L*|). The headline is stage-A + stage-B wall-clock — the
-    time a user waits for a *converged* 49k fit with warm compile caches.
+    uniform subsample (GPRAS_BENCH_WARM_SUB, default max(256, N/192); same
+    lr, on device); stage B = one forward NLML evaluation certifying the
+    stage-A params are inside the band (<= L* + 1e-5|L*|) — the rule
+    compares loss values, so no gradient is needed — falling back to full-N
+    polish steps until the band is entered if the certification fails
+    (``band_certified_by`` records which path ran). The headline is
+    stage-A + stage-B wall-clock — the time a user waits for a *converged*
+    49k fit with warm compile caches.
     GPRAS_BENCH_RULE_CONVERGENCE=1 additionally runs stage B to its TRUE
     rule plateau (~355 s at 49k).
     """
@@ -388,12 +400,31 @@ def bench_converged_fit(n: int, d: int = 8) -> dict:
         reject_nonfinite=True))
     p_a, info_a = fit_a(params0)
     int(info_a["iterations"])  # sync (compile)
+    # Certify-first: the reference stopping rule compares LOSS VALUES, so
+    # whether the warm-started params are already inside the band needs one
+    # forward NLML evaluation (Gram + factorization + solve + logdet) — not
+    # a training step; skipping the gradient saves the ~0.1 s backward.
+    # The Hutchinson loss VALUE is exact (probes only randomize gradients).
+    h_loss = _robust_loss(kernel, n)
+    cert = jax.jit(lambda pp: h_loss(pp, x, y, jax.random.PRNGKey(0)))
+    if not np.isfinite(float(cert(params0))):  # compile/load, discarded
+        raise RuntimeError("non-finite certification warmup loss")
     t0 = time.perf_counter()
     p_a, info_a = fit_a(params0)
     int(info_a["iterations"])
     warm_s = time.perf_counter() - t0
-    polish_s, polish_steps, polish_best, hit, _ = run_to(
-        p_a, stop_loss=l_star, max_iter=200)
+    t0 = time.perf_counter()
+    cert_val = float(cert(p_a))
+    cert_s = time.perf_counter() - t0
+    if cert_val <= l_star + tol * abs(l_star):
+        hit, polish_steps, polish_best = cert_s, 0, cert_val
+        out["band_certified_by"] = "forward_nlml_eval"
+    else:
+        polish_s, polish_steps, polish_best, hit, _ = run_to(
+            p_a, stop_loss=l_star, max_iter=200)
+        if hit is not None:
+            hit += cert_s  # the failed certification is part of the clock
+        out["band_certified_by"] = "polish_steps"
     out["warmstart_seconds"] = round(warm_s, 3)
     out["warmstarted_final_loss"] = round(polish_best, 2)
     # Optional: run the warm-started fit to TRUE rule convergence (the cold
@@ -626,6 +657,14 @@ class _Deadline(Exception):
     pass
 
 
+class _BenchAbort(Exception):
+    """Abort the staged protocol but still print the one JSON line (rc=0).
+
+    SystemExit must never be raised between stages: it is a BaseException,
+    so it would skip the partial-results tail and reproduce round 2's
+    rc!=0/parsed=null driver failure."""
+
+
 def main() -> None:
     import subprocess
 
@@ -699,7 +738,10 @@ def main() -> None:
                 print(f"# n={n} timed out (cold compile?)", file=sys.stderr)
                 continue
         if elapsed is None:
-            raise SystemExit("all bench sizes failed")
+            # every ladder size failed (degraded relay / starved host):
+            # report the committed reference measurements so the artifact is
+            # still one parsable JSON line with rc=0
+            raise _BenchAbort("all bench sizes failed")
         result.update({
             "n": n_used,
             "steps": steps,
@@ -774,6 +816,14 @@ def main() -> None:
         result["deadline_hit"] = True
         print(f"# global deadline ({deadline}s) hit; printing partial "
               "results", file=sys.stderr)
+    except _BenchAbort as e:
+        result["error"] = str(e)
+        ref = _load_reference("convergence_reference.json")
+        for k in ("l_star", "warmstarted_rule_converged_seconds",
+                  "cold_converged_fit_seconds"):
+            if k in ref:
+                result[f"{k}_ref"] = ref[k]
+        print(f"# {e}; printing committed references", file=sys.stderr)
     finally:
         if hasattr(signal, "SIGALRM"):
             signal.alarm(0)

@@ -24,6 +24,19 @@ def test_value_is_exact():
     np.testing.assert_allclose(got, want, rtol=1e-10)
 
 
+def test_value_is_key_invariant():
+    """The loss VALUE is probe-key independent (the key only enters the
+    stochastic backward). bench.py's certify-first stage B — one forward
+    NLML evaluation deciding whether warm-started params are inside the
+    reference stopping band — rests on this invariant."""
+    x, y = make_data(seed=4)
+    params = exact.init_params("Matern52", x, noise_variance=0.2)
+    nlml = make_hutchinson_nlml("Matern52", probes=4, col_panel=16)
+    v0 = float(nlml(params, x, y, jax.random.PRNGKey(0)))
+    v1 = float(nlml(params, x, y, jax.random.PRNGKey(123)))
+    assert v0 == v1
+
+
 def test_gradient_estimator_is_unbiased():
     """Averaging the stochastic gradient over many keys converges to exact."""
     x, y = make_data(seed=1)
