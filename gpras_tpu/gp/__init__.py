@@ -1,1 +1,1 @@
-"""GP model core: exact GP, sparse (collapsed-ELBO) GP, priors, high-level model."""
+"""GP model core: exact GP, sparse (collapsed-ELBO) GP, minibatch SVGP, priors, high-level model."""

@@ -1,0 +1,117 @@
+"""SVGP (uncollapsed Hensman bound): correctness anchors against SGPR.
+
+The collapsed Titsias bound is the maximum of the uncollapsed bound over
+q(u), so (a) any q gives ELBO_svgp <= ELBO_sgpr, and (b) the analytically
+optimal q attains it exactly — the strongest possible check of every term
+(projection, moments, closed-form Gaussian expectation, KL)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from gpras_tpu.gp import sgpr, svgp
+
+
+def make_data(n=96, m=12, d=3, seed=0):
+    rng = np.random.default_rng(seed)
+    x = jnp.asarray(rng.normal(size=(n, d)))
+    y = jnp.asarray(np.sin(np.asarray(x)[:, 0])
+                    + 0.1 * rng.normal(size=n))
+    z = x[:: n // m][:m]
+    return x, y, z
+
+
+def test_any_q_is_dominated_by_collapsed_bound():
+    x, y, z = make_data()
+    params = svgp.init_params("RBF", x, z, noise_variance=0.2)
+    rng = np.random.default_rng(1)
+    params["q_mu"] = jnp.asarray(rng.normal(size=params["q_mu"].shape))
+    params["q_raw"] = jnp.asarray(
+        0.3 * rng.normal(size=params["q_raw"].shape))
+    lo = float(svgp.elbo("RBF", params, x, y, x.shape[0]))
+    hi = float(sgpr.elbo("RBF", params, x, y))
+    assert lo <= hi + 1e-9, (lo, hi)
+    # init q(v) = N(0, I) has exactly zero KL
+    p0 = svgp.init_params("RBF", x, z)
+    np.testing.assert_allclose(float(svgp.kl_to_prior(p0)), 0.0, atol=1e-12)
+
+
+def test_optimal_q_attains_collapsed_bound():
+    x, y, z = make_data(seed=2)
+    params = svgp.init_params("Matern52", x, z, noise_variance=0.3)
+    p_opt = svgp.optimal_q("Matern52", params, x, y)
+    lo = float(svgp.elbo("Matern52", p_opt, x, y, x.shape[0]))
+    hi = float(sgpr.elbo("Matern52", params, x, y))
+    np.testing.assert_allclose(lo, hi, rtol=1e-8)
+
+
+def test_predict_matches_sgpr_at_optimal_q():
+    """At the optimal q, the variational posterior IS the collapsed SGPR
+    posterior — predictions must agree without seeing the training set."""
+    x, y, z = make_data(seed=3)
+    params = svgp.init_params("RBF", x, z, noise_variance=0.25)
+    p_opt = svgp.optimal_q("RBF", params, x, y)
+    xs = jnp.asarray(np.random.default_rng(4).normal(size=(17, x.shape[1])))
+    m_ref, v_ref = sgpr.predict("RBF", params, x, y, xs, include_noise=True)
+    m_got, v_got = svgp.predict("RBF", p_opt, xs, include_noise=True)
+    np.testing.assert_allclose(np.asarray(m_got), np.asarray(m_ref),
+                               rtol=1e-7, atol=1e-9)
+    np.testing.assert_allclose(np.asarray(v_got), np.asarray(v_ref),
+                               rtol=1e-7)
+
+
+def test_q_sqrt_raw_round_trip():
+    rng = np.random.default_rng(5)
+    raw = jnp.asarray(rng.normal(size=(2, 6, 6)))
+    qs = svgp.q_sqrt_from_raw(raw)
+    assert np.all(np.triu(np.asarray(qs), 1) == 0.0)
+    assert np.all(np.asarray(jnp.diagonal(qs, axis1=-2, axis2=-1)) > 0)
+    back = svgp.raw_from_q_sqrt(qs)
+    np.testing.assert_allclose(np.asarray(svgp.q_sqrt_from_raw(back)),
+                               np.asarray(qs), rtol=1e-12)
+
+
+def test_minibatch_fit_converges_toward_sgpr():
+    """One jitted program (scan over epochs/batches) trains hyperparameters
+    AND q jointly; the final full-data bound must approach the collapsed
+    bound at the SAME hyperparameters (gap << the improvement from init)."""
+    x, y, z = make_data(n=256, m=16, seed=6)
+    params = svgp.init_params("RBF", x, z, noise_variance=0.5)
+    fit = svgp.make_minibatch_fit("RBF", batch_size=32, epochs=150,
+                                  learning_rate=0.02)
+    p_fit, hist = fit(params, x, y, jax.random.PRNGKey(0))
+    assert hist.shape == (150,)
+    assert np.all(np.isfinite(np.asarray(hist)))
+    lo0 = float(svgp.elbo("RBF", params, x, y, x.shape[0]))
+    lo1 = float(svgp.elbo("RBF", p_fit, x, y, x.shape[0]))
+    assert lo1 > lo0 + 10.0, (lo0, lo1)
+    # at the fitted hyperparameters, the trained q should be near-optimal
+    hi = float(sgpr.elbo("RBF", p_fit, x, y))
+    assert hi - lo1 < 0.15 * (lo1 - lo0), (lo0, lo1, hi)
+
+
+def test_predictions_after_minibatch_fit():
+    x, y, z = make_data(n=256, m=16, seed=7)
+    params = svgp.init_params("RBF", x, z, noise_variance=0.5)
+    fit = svgp.make_minibatch_fit("RBF", batch_size=64, epochs=120,
+                                  learning_rate=0.02)
+    p_fit, _ = fit(params, x, y, jax.random.PRNGKey(1))
+    mean, var = svgp.predict("RBF", p_fit, x)
+    resid = np.asarray(mean) - np.asarray(y)
+    r2 = 1.0 - np.var(resid) / np.var(np.asarray(y))
+    assert r2 > 0.8, r2
+    assert np.all(np.asarray(var) > 0)
+
+
+def test_n_total_scaling_is_unbiased():
+    """The minibatch data term averaged over all disjoint batches equals the
+    full-batch data term (exactly, for a partition)."""
+    x, y, z = make_data(n=64, m=8, seed=8)
+    params = svgp.init_params("RBF", x, z, noise_variance=0.2)
+    kl = float(svgp.kl_to_prior(params))
+    full = float(svgp.elbo("RBF", params, x, y, 64))
+    parts = [float(svgp.elbo("RBF", params, x[i:i + 16], y[i:i + 16], 64))
+             for i in range(0, 64, 16)]
+    # each part = scale*batch_loglik - KL; mean of parts = full
+    np.testing.assert_allclose(np.mean(parts), full, rtol=1e-10)
+    del kl
