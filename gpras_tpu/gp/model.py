@@ -13,6 +13,9 @@ TPU-first redesign:
 - ``model_type="exact"`` adds a dense exact-GP backend (no inducing points) with a
   custom-VJP NLML — the reference has no exact-GP path; this is BASELINE.json's
   headline config.
+- ``model_type="svgp"`` adds the minibatch (uncollapsed-bound) sparse backend
+  (gp/svgp.py) — unbounded N at O(M^2) memory; fit knobs ``batch_size``,
+  ``epochs``, ``learning_rate``, ``seed``; the reference has no streaming path.
 - After ``fit`` the posterior factors are **precomputed once** (Cholesky factors and
   projected targets), so batched prediction over thousands of storm-event timesteps
   is matmul-only — the "storm-event predictions/sec" metric surface.
@@ -32,7 +35,7 @@ import numpy as np
 
 from gpras_tpu.fit import optimizers as fitters
 from gpras_tpu.gp import exact as exact_gp
-from gpras_tpu.gp import sgpr
+from gpras_tpu.gp import sgpr, svgp
 from gpras_tpu.ops import kernels as K
 from gpras_tpu.ops import kmeans as km
 from gpras_tpu.ops import linalg
@@ -46,7 +49,7 @@ OptimizerType = Literal[
     "stochastic", "diffential_evolution", "differential_evolution",
 ]
 InductionInitializerType = Literal["kmeans", "grid"]
-ModelBackendType = Literal["sgpr", "exact"]
+ModelBackendType = Literal["sgpr", "svgp", "exact"]
 
 
 @partial(jax.jit, static_argnums=(0,))
@@ -109,9 +112,9 @@ class GPRAS:
         "cg". Ignored for the sparse backend."""
         if kernel not in K.KERNEL_NAMES:
             raise ValueError(f"Unknown kernel {kernel!r}")
-        if model_type not in ("sgpr", "exact"):
+        if model_type not in ("sgpr", "svgp", "exact"):
             raise ValueError(f"Unknown model_type {model_type!r}; "
-                             "expected 'sgpr' or 'exact'")
+                             "expected 'sgpr', 'svgp' or 'exact'")
         if exact_engine not in ("auto", "dense", "lean", "hutchinson", "cg"):
             raise ValueError(f"Unknown exact_engine {exact_engine!r}")
         self.kernel_str: str = kernel
@@ -158,8 +161,8 @@ class GPRAS:
         hyperparameter surfaces are near-identical at a fraction of the
         per-step cost (docs/PERFORMANCE.md).
         """
-        if self.model_type == "sgpr" and n_inducing <= 0:
-            raise ValueError("sparse backend requires n_inducing > 0 "
+        if self.model_type in ("sgpr", "svgp") and n_inducing <= 0:
+            raise ValueError("sparse backends require n_inducing > 0 "
                              "(use model_type='exact' for a dense GP)")
         if optimization_method not in fitters.FITTERS:
             raise ValueError(
@@ -209,6 +212,40 @@ class GPRAS:
             batched0 = jax.tree.map(
                 lambda leaf: jnp.broadcast_to(leaf, (p_modes,) + leaf.shape),
                 params0)
+
+        if self.model_type == "svgp":
+            # Minibatch engine: the whole per-mode fit is ONE jitted scan
+            # program (gp/svgp.py make_minibatch_fit), vmapped over modes
+            # with per-mode shuffle keys. The optimizer-zoo full-batch
+            # fitters don't apply here — minibatch Adam is the method.
+            if optimization_method != "adam":
+                raise ValueError(
+                    "model_type='svgp' trains with minibatch Adam; pass "
+                    "optimization_method='adam' (got "
+                    f"{optimization_method!r})")
+            bs = int(opt_kwargs.pop("batch_size",
+                                    min(4096, self.x.shape[0])))
+            epochs = int(opt_kwargs.pop("epochs",
+                                        opt_kwargs.pop("max_iter", 100)))
+            lr = float(opt_kwargs.pop("learning_rate", 0.01))
+            seed = int(opt_kwargs.pop("seed", 0))
+            if opt_kwargs:
+                raise ValueError(
+                    f"unsupported svgp fit options: {sorted(opt_kwargs)}")
+            fit_fn = svgp.make_minibatch_fit(
+                self.kernel_str, batch_size=bs, epochs=epochs,
+                learning_rate=lr)
+            keys = jax.random.split(jax.random.PRNGKey(seed), p_modes)
+            fitted, hist = jax.vmap(
+                lambda p, y_i, k: fit_fn(p, self.x, y_i, k),
+                in_axes=(0, 1, 0))(batched0, self.y, keys)
+            self.params = fitted
+            self.fit_info = {"losses": hist}
+            from gpras_tpu.utils.profiling import log_fit_losses
+
+            log_fit_losses(self.fit_info,
+                           name=f"GPRAS[{self.kernel_str}/svgp]")
+            return
 
         fitter = fitters.FITTERS[optimization_method]
         if optimization_method == "stochastic":
@@ -266,6 +303,11 @@ class GPRAS:
     def _loss_fn(self, params: dict[str, Array], y_i: Array) -> Array:
         if self.model_type == "sgpr":
             return sgpr.training_loss(self.kernel_str, params, self.x, y_i)
+        if self.model_type == "svgp":
+            # full-batch bound (diagnostics / CV scoring); training itself
+            # goes through the minibatch path in fit()
+            return svgp.training_loss(self.kernel_str, params, self.x, y_i,
+                                      self.x.shape[0])
         n = self.x.shape[0]
         engine = self.exact_engine
         if engine == "auto":
@@ -327,6 +369,8 @@ class GPRAS:
         if self.model_type == "exact":
             return exact_gp.init_params(self.kernel_str, self.x)
         z = self._create_inducing(self.x, self.n_inducing, inducing_initializer)
+        if self.model_type == "svgp":
+            return svgp.init_params(self.kernel_str, self.x, z)
         return sgpr.init_params(self.kernel_str, self.x, z)
 
     @staticmethod
@@ -345,7 +389,10 @@ class GPRAS:
             return
         if self.params is None:
             raise RuntimeError("fit() or from_file() must run before predict()")
-        if self.model_type == "sgpr":
+        if self.model_type == "svgp":
+            # the variational posterior IS the model state — nothing to cache
+            self._cache = ()
+        elif self.model_type == "sgpr":
             self._cache = jax.vmap(
                 lambda p, y_i: _sgpr_posterior_cache(self.kernel_str, p, self.x, y_i),
                 in_axes=(0, 1),
@@ -381,7 +428,11 @@ class GPRAS:
         """
         xq = jnp.asarray(x, dtype=self.dtype)
         self._ensure_cache()
-        if self.model_type == "sgpr":
+        if self.model_type == "svgp":
+            mean, var = jax.vmap(
+                lambda p: svgp.predict(self.kernel_str, p, xq)
+            )(self.params)
+        elif self.model_type == "sgpr":
             mean, var = jax.vmap(
                 lambda p, cache: _sgpr_predict_from_cache(self.kernel_str, p, cache, xq)
             )(self.params, self._cache)

@@ -143,9 +143,10 @@ class Config:
 
     # === TPU backend knobs (new) ===
     model_backend: str = field(default="sgpr", metadata={
-        "help": "GP backend: sparse collapsed-ELBO ('sgpr') or dense exact GP "
-                "with custom-VJP NLML ('exact').",
-        "choices": ["sgpr", "exact"], "example": "sgpr"})
+        "help": "GP backend: sparse collapsed-ELBO ('sgpr'), minibatch "
+                "uncollapsed-bound sparse GP ('svgp'; unbounded N at O(M^2) "
+                "memory), or dense exact GP with custom-VJP NLML ('exact').",
+        "choices": ["sgpr", "svgp", "exact"], "example": "sgpr"})
     fi_time_tolerance: int = field(default=0, metadata={
         "help": "Fidelity-index peak-time tolerance in timesteps "
                 "(addition over the reference; its fi used 0).",

@@ -30,6 +30,41 @@ def test_fit_predict_shapes_and_accuracy():
     assert rmse < 0.5, rmse
 
 
+def test_svgp_backend_fit_predict_and_round_trip(tmp_path):
+    """model_type='svgp': minibatch fit (one scan program per mode), predict
+    from params alone, and the npz round trip (q_mu/q_raw are ordinary
+    param leaves)."""
+    x, y = make_data(seed=9, n=96)
+    model = GPRAS("RBF", model_type="svgp", dtype=jnp.float64)
+    model.fit(x, y, n_inducing=M, optimization_method="adam",
+              batch_size=24, epochs=200, learning_rate=0.02)
+    assert model.fit_info["losses"].shape == (P, 200)
+    mean, var = model.predict(x)
+    assert mean.shape == (96, P) and np.all(var > 0)
+    rmse = np.sqrt(np.mean((mean - y) ** 2))
+    assert rmse < 0.6, rmse
+
+    path = tmp_path / "svgp.npz"
+    model.to_file(path)
+    back = GPRAS.from_file(path)
+    assert back.model_type == "svgp"
+    m2, v2 = back.predict(x)
+    np.testing.assert_allclose(m2, mean, rtol=1e-10)
+    np.testing.assert_allclose(v2, var, rtol=1e-10)
+
+
+def test_svgp_backend_rejects_bad_options():
+    x, y = make_data(seed=10)
+    model = GPRAS("RBF", model_type="svgp")
+    with pytest.raises(ValueError, match="n_inducing"):
+        model.fit(x, y, optimization_method="adam")
+    with pytest.raises(ValueError, match="minibatch Adam"):
+        model.fit(x, y, n_inducing=M, optimization_method="two-stage")
+    with pytest.raises(ValueError, match="unsupported svgp fit options"):
+        model.fit(x, y, n_inducing=M, optimization_method="adam",
+                  tol=1e-3)
+
+
 def test_exact_backend_beats_prior():
     x, y = make_data(seed=1)
     model = GPRAS("Matern52", model_type="exact", dtype=jnp.float64)
