@@ -229,12 +229,14 @@ class GPRAS:
                                         opt_kwargs.pop("max_iter", 100)))
             lr = float(opt_kwargs.pop("learning_rate", 0.01))
             seed = int(opt_kwargs.pop("seed", 0))
+            ng = opt_kwargs.pop("natgrad", None)
             if opt_kwargs:
                 raise ValueError(
                     f"unsupported svgp fit options: {sorted(opt_kwargs)}")
             fit_fn = svgp.make_minibatch_fit(
                 self.kernel_str, batch_size=bs, epochs=epochs,
-                learning_rate=lr)
+                learning_rate=lr,
+                natgrad=None if ng is None else float(ng))
             keys = jax.random.split(jax.random.PRNGKey(seed), p_modes)
             fitted, hist = jax.vmap(
                 lambda p, y_i, k: fit_fn(p, self.x, y_i, k),

@@ -204,9 +204,63 @@ def optimal_q(kernel: str, params: dict[str, Array], x: Array,
     return out
 
 
+def natgrad_step(kernel: str, params: dict[str, Array], x: Array, y: Array,
+                 n_total: Array | int, lr: float = 0.1) -> dict[str, Array]:
+    """One natural-gradient step on the variational leaves (q_mu, q_raw).
+
+    For the Gaussian likelihood the ELBO is conjugate in q's natural
+    parameters (lam1, lam2) = (S^{-1} m, -S^{-1}/2), and the natural
+    gradient in expectation parameters is available in closed form: with
+    G = (n_total / B) A A^T / s2 and b = (n_total / B) A y / s2 over the
+    batch,
+
+        lam1'      = (1 - lr) lam1 + lr b
+        -2 lam2'   = (1 - lr) S^{-1} + lr (G + I)
+
+    Both summands of -2 lam2' are PD, so the step is PD-safe for any
+    lr in (0, 1]. At lr = 1 on the full dataset this lands EXACTLY on
+    :func:`optimal_q` from any starting q — the conjugate jump GPflow's
+    NaturalGradient(gamma=1) makes — so hyperparameter-only optimization
+    with interleaved lr=1 NGD recovers collapsed-SGPR training at SVGP's
+    per-step cost. Minibatches use lr < 1 (stochastic G, b).
+    """
+    y2 = y[:, None] if y.ndim == 1 else y
+    b_size = y2.shape[0]
+    p_out = y2.shape[1]
+    sigma2 = jnp.exp(params["log_noise_variance"])
+    a = _whitened_projection(kernel, params, x)  # (M, B)
+    m = a.shape[0]
+    scale = jnp.asarray(n_total, dtype=y2.dtype) / b_size
+    g_mat = scale * (a @ a.T) / sigma2  # (M, M), shared across outputs
+    b_vec = scale * (a @ y2) / sigma2  # (M, P)
+    eye = jnp.eye(m, dtype=a.dtype)
+
+    q_sqrt = q_sqrt_from_raw(params["q_raw"])  # (P, M, M)
+
+    def one_output(q_sqrt_p, q_mu_p, b_p):
+        # S^{-1} = L^{-T} L^{-1}; lam1 = S^{-1} m
+        linv = linalg.solve_triangular(q_sqrt_p, eye, lower=True)
+        s_inv = linv.T @ linv
+        lam1 = s_inv @ q_mu_p
+        prec_new = (1.0 - lr) * s_inv + lr * (g_mat + eye)
+        lp = linalg.safe_cholesky(prec_new, jitter=0.0)
+        s_new = linalg.cho_solve(lp, eye)
+        lam1_new = (1.0 - lr) * lam1 + lr * b_p
+        m_new = s_new @ lam1_new
+        return linalg.safe_cholesky(s_new, jitter=0.0), m_new
+
+    q_sqrt_new, q_mu_new = jax.vmap(one_output, in_axes=(0, 1, 1))(
+        q_sqrt, params["q_mu"], b_vec)
+    out = dict(params)
+    out["q_mu"] = jnp.moveaxis(q_mu_new, 0, 1).reshape(m, p_out)
+    out["q_raw"] = raw_from_q_sqrt(q_sqrt_new)
+    return out
+
+
 def make_minibatch_fit(kernel: str, batch_size: int, epochs: int,
                        learning_rate: float = 0.01, optimizer=None,
-                       n_total: int | None = None):
+                       n_total: int | None = None,
+                       natgrad: float | None = None):
     """One-program minibatch trainer: ``fit(params, x, y, key)``.
 
     Compiles a single jitted program: an outer ``lax.scan`` over epochs
@@ -216,11 +270,19 @@ def make_minibatch_fit(kernel: str, batch_size: int, epochs: int,
     batches. Static shapes throughout: no retraces, no host round trips —
     the whole fit is one dispatch on TPU.
 
+    ``natgrad``: when set (e.g. 0.5), each batch step interleaves a
+    :func:`natgrad_step` on the variational leaves (q_mu, q_raw) with an
+    Adam step on everything else (q-gradients masked) — the GPflow
+    NaturalGradient + Adam recipe; the conjugate NGD step follows the
+    information geometry of q directly and converges in far fewer epochs
+    than Adam on the Cholesky parameterization.
+
     Returns ``(params, epoch_mean_losses)`` with losses shaped (epochs,).
     """
     import optax
 
     opt = optax.adam(learning_rate) if optimizer is None else optimizer
+    q_leaves = ("q_mu", "q_raw")
 
     def fit(params, x, y, key):
         n = x.shape[0]
@@ -237,7 +299,12 @@ def make_minibatch_fit(kernel: str, batch_size: int, epochs: int,
         def step(carry, batch):
             p, s = carry
             xb, yb = batch
+            if natgrad is not None:
+                p = natgrad_step(kernel, p, xb, yb, scale_n, lr=natgrad)
             loss, g = jax.value_and_grad(loss_fn)(p, xb, yb)
+            if natgrad is not None:
+                g = {k: (jnp.zeros_like(v) if k in q_leaves else v)
+                     for k, v in g.items()}
             updates, s = opt.update(g, s, p)
             return (optax.apply_updates(p, updates), s), loss
 
