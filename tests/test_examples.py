@@ -55,6 +55,18 @@ def test_cli_predict_from_artifacts(tmp_path):
         assert np.all(z["field_var"] >= 0.0)
 
 
+def test_streaming_svgp_example():
+    ss = _load("streaming_svgp")
+    rmse_sub, rmse_ref, cover = ss.main(n_events=512, n_sub=128,
+                                        n_inducing=16, sgpr_iters=40,
+                                        epochs=6, batch_size=64,
+                                        verbose=False)
+    assert np.isfinite(rmse_ref)
+    # refinement on the full archive must not be worse than the subsample fit
+    assert rmse_ref < rmse_sub * 1.1, (rmse_ref, rmse_sub)
+    assert 0.0 <= cover <= 1.0
+
+
 def test_distributed_example():
     df = _load("distributed_fit")
     loss2d, losses_h = df.main(verbose=False, b=8, steps=1)
