@@ -29,6 +29,27 @@ def test_predictor_round_trip(tmp_path):
     pred.warmup()
 
 
+def test_predictor_serves_svgp_backend(tmp_path):
+    """The serving path is backend-agnostic: an svgp checkpoint (variational
+    params ARE the state — no factor cache) serves through the same
+    bucketed predictor."""
+    rng = np.random.default_rng(3)
+    n, d, p = 48, 2, 2
+    x = rng.normal(size=(n, d))
+    y = np.stack([np.sin(x[:, 0]) * (i + 1) for i in range(p)], axis=1)
+    model = GPRAS("RBF", model_type="svgp", dtype=jnp.float64)
+    model.fit(x, y, n_inducing=8, optimization_method="adam",
+              batch_size=16, epochs=40, natgrad=0.5)
+    path = tmp_path / "svgp.npz"
+    model.to_file(path)
+
+    pred = PosteriorPredictor(path, buckets=(16, 64))
+    mean_direct, var_direct = model.predict(x)
+    mean_served, var_served = pred.predict_modes(x)
+    np.testing.assert_allclose(mean_served, mean_direct, rtol=1e-8)
+    np.testing.assert_allclose(var_served, var_direct, rtol=1e-8)
+
+
 def test_predict_field_composes_preprocessors(tmp_path):
     rng = np.random.default_rng(1)
     s, c = 40, 50
