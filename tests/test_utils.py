@@ -85,3 +85,21 @@ def test_cli_select_events(tmp_path):
     assert rc == 0
     stac = json.loads(out.read_text())
     assert stac["properties"]["train_event_count"] == 12
+
+
+def test_package_lazy_exports():
+    """The documented import surface (docs/migration.md): top-level model
+    classes and the pipeline entry points resolve lazily, and unknown
+    attributes raise AttributeError (not ImportError)."""
+    import gpras_tpu
+    import gpras_tpu.pipeline as pl
+
+    assert gpras_tpu.GPRAS.__name__ == "GPRAS"
+    assert gpras_tpu.PreProcessor.__name__ == "PreProcessor"
+    assert gpras_tpu.HmsPreProcessor.__name__ == "HmsPreProcessor"
+    assert pl.Config.__name__ == "Config"
+    assert callable(pl.pipeline)
+    with pytest.raises(AttributeError):
+        _ = gpras_tpu.not_a_symbol
+    with pytest.raises(AttributeError):
+        _ = pl.not_a_symbol
