@@ -27,7 +27,9 @@ GPRAS_BENCH_DEADLINE, default 900 s):
    min/max spread) and full-field predictions/sec (EOF reverse transform +
    variance at ~49k cells).
 4. An in-run matrix-free CG fit at N=131,072 (GPRAS_BENCH_EXTRA=0 skips).
-5. Accuracy north star (depth-RMSE of the f32 TPU pipeline vs the f64 dense
+5. SVGP streaming minibatch fit at N=2^20 (``svgp_points_per_sec``,
+   benchmarks/svgp_throughput.py defaults; GPRAS_BENCH_SVGP=0 skips).
+6. Accuracy north star (depth-RMSE of the f32 TPU pipeline vs the f64 dense
    gold posterior, gpras_tpu/accuracy.py): GPRAS_BENCH_ACCURACY=1 runs it
    in-run (the f64 gold costs many minutes on this box's single CPU core);
    by default the committed benchmarks/accuracy_reference.json values are
@@ -792,6 +794,29 @@ def main() -> None:
             if "matrix_free_cg_n131072_seconds" in cg_ref:
                 result["matrix_free_cg_n131072_seconds_ref"] = \
                     cg_ref["matrix_free_cg_n131072_seconds"]
+        # Streaming-engine capability point: SVGP minibatch fit at N=2^20
+        # (gp/svgp.py — nothing N-shaped ever materializes; the measured
+        # ~4-5M points/s holds to N=16.7M, docs/PERFORMANCE.md). Subprocess
+        # because the script needs its own fresh platform/data; cached
+        # compile returns in seconds warm. Disable with GPRAS_BENCH_SVGP=0.
+        if os.environ.get("GPRAS_BENCH_SVGP", "1") == "1" \
+                and remaining() > 120:
+            try:
+                proc = subprocess.run(
+                    [sys.executable,
+                     os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                  "benchmarks", "svgp_throughput.py")],
+                    capture_output=True, text=True, timeout=sub_timeout())
+                svgp = json.loads(proc.stdout.strip().splitlines()[-1])
+                result.update({
+                    "svgp_n": svgp["n"],
+                    "svgp_seconds_per_epoch": svgp["seconds_per_epoch"],
+                    "svgp_points_per_sec": svgp["points_per_sec"],
+                })
+            except _Deadline:
+                raise
+            except Exception as e:  # never fail the headline for the extra
+                print(f"# svgp extra failed: {e}", file=sys.stderr)
         # Accuracy north star: depth-RMSE of the f32 TPU pipeline vs the f64
         # dense exact gold posterior. The f64 gold costs many minutes on this
         # box's single CPU core, so the default reports the committed

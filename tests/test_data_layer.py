@@ -397,3 +397,84 @@ def test_export_rasterized_aoi_qc_dump(tmp_path):
     back2 = np.load(tmp_path / "precip_qc.npz")
     np.testing.assert_allclose(back2["data"],
                                precip[0].reshape(rows, cols), rtol=1e-6)
+
+
+def test_flow_file_fuzz_roundtrip(tmp_path):
+    """Randomized emit -> parse -> emit fixpoint over the whole component
+    space (ICs of both types, mixed BC lists, met attrs, wind modes,
+    observed-time-series blocks, multi-line descriptions) plus CRLF/ASCII
+    file round trips. The parser segments on line-prefix triggers
+    (reference gpras/ras/flow.py:631-658), so values here avoid strings
+    that would START a line with a registered trigger — anything else,
+    including interior spaces, '=', commas in IC names, and DSS path
+    slashes, must survive byte-identically."""
+    from gpras_tpu.data.flow_file import InitialCondition
+
+    rng = np.random.default_rng(20260818)
+    # charset excludes ',' (BC headers split on it) except where noted
+    safe = list("abcdefghijklmnopqrstuvwxyzABCDEFGHIJKLMNOPQRSTUVWXYZ"
+                "0123456789 -_./=")
+
+    def rand_text(lo=1, hi=18, extra=""):
+        chars = safe + list(extra)
+        n = int(rng.integers(lo, hi))
+        # interior spaces only: padding is the emitter's job
+        return "".join(rng.choice(chars) for _ in range(n)).strip() or "x"
+
+    for trial in range(40):
+        f = UnsteadyFlowFile(
+            flow_title=rand_text(1, 30),
+            program_version=rng.choice(["6.6", "6.3.1", rand_text(3, 6)]),
+            file_description="\n".join(
+                "desc " + rand_text() for _ in range(int(rng.integers(0, 3)))),
+        )
+        f.initial_conditions.use_restart = str(rng.choice(["0", "1"]))
+        for _ in range(int(rng.integers(0, 5))):
+            f.initial_conditions.ics.append(InitialCondition(
+                rand_text(extra=","),           # names may contain commas
+                f"{rng.uniform(500, 900):.2f}",  # elevations may not
+                str(rng.choice(["2D", "IC Point"]))))
+        for _ in range(int(rng.integers(0, 4))):
+            header = dict(sa_2d_id=rand_text(1, 14), mesh_name=rand_text(1, 14),
+                          bc_line_id=rand_text(1, 30))
+            if rng.random() < 0.5:
+                f.boundary_conditions.bcs.append(
+                    NormalDepthBC(f"{rng.uniform(1e-4, 0.01):.4f}", "0", **header))
+            else:
+                bc = FlowHydrographBC(
+                    interval=str(rng.choice(["1HOUR", "15MIN", "1DAY"])),
+                    dss_file=rand_text(4, 20) + ".dss",
+                    dss_path=f"//{rand_text(2, 8)}/FLOW//1HOUR/RUN:{rand_text(2, 8)}/",
+                    **header)
+                if rng.random() < 0.5:
+                    bc.flow_hydrograph = f" {int(rng.integers(0, 9))} "
+                f.boundary_conditions.bcs.append(bc)
+        f.precip_mode = str(rng.choice(["Disable", "Enable", "Gridded"]))
+        f.wind.mode = str(rng.choice(["No Wind Forces", "Speed/Direction"]))
+        if rng.random() < 0.5:
+            f.precipitation.set("Mode", "Gridded")
+            f.precipitation.set("Gridded DSS Filename", rand_text(4, 20) + ".dss")
+            f.precipitation.set("Gridded DSS Pathname",
+                                f"//{rand_text(2, 8)}/PRECIP////")
+        for _ in range(int(rng.integers(0, 3))):
+            f.observed_time_series.append(
+                f"Observed Time Series={rand_text()}\n"
+                f"  gage {rand_text()}\n  value {rng.uniform(0, 10):.3f}")
+
+        e1 = f.emit()
+        g = UnsteadyFlowFile.from_string(e1)
+        e2 = g.emit()
+        assert e2 == e1, f"trial {trial}: emit->parse->emit not a fixpoint"
+        # semantic spot checks survive the round trip
+        assert len(g.initial_conditions.ics) == len(f.initial_conditions.ics)
+        assert len(g.boundary_conditions.bcs) == len(f.boundary_conditions.bcs)
+        assert len(g.observed_time_series) == len(f.observed_time_series)
+        assert g.precip_mode == f.precip_mode and g.wind.mode == f.wind.mode
+
+        # file round trip: ASCII bytes, every line CRLF-terminated
+        p = tmp_path / f"fuzz_{trial}.u01"
+        f.to_file(str(p))
+        raw = p.read_bytes()
+        raw.decode("ascii")
+        assert all(ln.endswith(b"\r") for ln in raw.split(b"\n") if ln)
+        assert UnsteadyFlowFile.from_file(str(p)).emit() == e1
