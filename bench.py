@@ -380,6 +380,15 @@ def bench_converged_fit(n: int, d: int = 8) -> dict:
                 ref.get("cold_converged_fit_steps"),
             "cold_converged_by_rule_ref": ref.get("cold_converged_by_rule"),
         })
+        # Fastest COLD protocol (benchmarks/lbfgs_cold.py): zoom-linesearch
+        # L-BFGS from the same init enters the stopping band around L* in
+        # 23 iterations, ~134 s — 4.6x the 614 s cold Adam fit
+        # (docs/PERFORMANCE.md "Cold fits: L-BFGS").
+        if "cold_lbfgs_band_seconds" in ref:
+            out["cold_lbfgs_band_seconds_ref"] = \
+                ref["cold_lbfgs_band_seconds"]
+            out["cold_lbfgs_band_iterations_ref"] = \
+                ref.get("cold_lbfgs_band_iterations")
 
     # 2. hierarchical: converged subsample fit (on device) + full-N polish.
     # Stage-A size swept on the TPU (round 3, 49k problem; every setting

@@ -40,6 +40,7 @@ from typing import Any, Callable
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 import optax
 
 Array = jax.Array
@@ -257,6 +258,127 @@ def lbfgs_fit(
             for k in p
         }
     return p, {"iterations": i, "losses": losses, "loss": loss_fn(p)}
+
+
+def lbfgs_fit_chunked(
+    loss_fn: LossFn,
+    params: Params,
+    max_iter: int = 96,
+    chunk: int = 8,
+    memory_size: int = 15,
+    max_linesearch_steps: int = 8,
+    mask: Params | None = None,
+    floors: dict[str, float] | None = None,
+    stop_loss: float | None = None,
+    tol: float = 1e-5,
+    patience: int = 50,
+) -> tuple[Params, dict[str, Any]]:
+    """Host-chunked L-BFGS: the same optax update/zoom-linesearch math as
+    ``lbfgs_fit``, dispatched as ceil(max_iter / chunk) compiled programs of
+    ``chunk`` iterations each, with the optimizer state (including the
+    linesearch's cached value/grad) carried across dispatches — so
+    ``chunk=max_iter`` reproduces a monolithic run exactly.
+
+    Exists for large-N exact-GP fits on tunneled single-chip TPU workers
+    with a per-PROGRAM execution budget (docs/PERFORMANCE.md, the N=524,288
+    worker-crash entry): every linesearch eval costs a full factorization,
+    so a monolithic 100-iteration while_loop is one multi-minute program;
+    this driver bounds per-program device time at
+    ``chunk * (1 + max_linesearch_steps)`` evals. The host boundary also
+    applies the reference early-stop rule (rel-tol/patience,
+    gpras/gpr.py:162-173), an optional stopping band (``stop_loss``: stop
+    once loss <= stop_loss + tol*|stop_loss|, the bench.py band-entry
+    semantics), ``floors`` projection between chunks (see
+    ``_apply_floors``), and rejects a chunk whose every loss is non-finite
+    (reverting to the pre-chunk state).
+
+    Measured at N=49,152 (Matern52, Hutchinson stochastic-trace loss,
+    bench.py's seeded problem): enters the committed 600-step-Adam L* band
+    at iteration 23, ~134 s cold — 4.6x the 614 s cold Adam fit — and is
+    187 nats below Adam's 600-step best by iteration 32
+    (docs/PERFORMANCE.md "Cold fits: L-BFGS").
+    """
+    if mask is None:
+        masked_loss = loss_fn
+        frozen: Params = {}
+    else:
+        frozen = {k: params[k] for k in params}
+
+        def masked_loss(p: Params) -> Array:
+            merged = {
+                k: p[k] * mask[k].astype(p[k].dtype)
+                + frozen[k] * (1.0 - mask[k]).astype(p[k].dtype)
+                for k in p
+            }
+            return loss_fn(merged)
+
+    opt = optax.lbfgs(
+        memory_size=memory_size,
+        linesearch=optax.scale_by_zoom_linesearch(
+            max_linesearch_steps=max_linesearch_steps))
+    vag = optax.value_and_grad_from_state(masked_loss)
+
+    @jax.jit
+    def run_chunk(p: Params, opt_state):
+        def body(i, carry):
+            p, opt_state, losses = carry
+            val, grads = vag(p, state=opt_state)
+            updates, opt_state = opt.update(
+                grads, opt_state, p, value=val, grad=grads,
+                value_fn=masked_loss)
+            p = optax.apply_updates(p, updates)
+            return p, opt_state, losses.at[i].set(val)
+
+        dtype = p[next(iter(p))].dtype
+        losses0 = jnp.full((chunk,), jnp.nan, dtype=dtype)
+        return jax.lax.fori_loop(0, chunk, body, (p, opt_state, losses0))
+
+    p, opt_state = params, opt.init(params)
+    all_losses: list[np.ndarray] = []
+    best = float("inf")
+    count = 0
+    done = 0
+    stopped = ""
+    while done < max_iter and not stopped:
+        p_new, opt_state_new, losses = run_chunk(p, opt_state)
+        lv = np.asarray(losses)  # host sync once per chunk
+        if not np.isfinite(lv).any():
+            stopped = "non_finite_chunk"  # revert: keep pre-chunk state
+            break
+        p, opt_state = p_new, opt_state_new
+        if floors:
+            p = _apply_floors(p, floors)
+        done += chunk
+        all_losses.append(lv)
+        for v in lv:
+            if not np.isfinite(v):
+                count += 1
+            elif (best - v) / abs(v) > tol:
+                best, count = float(v), 0
+            else:
+                count += 1
+            if stop_loss is not None and v <= stop_loss + tol * abs(stop_loss):
+                stopped = "stop_loss_band"
+                break
+            if count > patience:
+                stopped = "plateau_rule"
+                break
+    losses_full = np.full((max_iter,), np.nan, dtype=np.float32)
+    if all_losses:
+        flat = np.concatenate(all_losses)[:max_iter]
+        losses_full[: flat.size] = flat
+    if mask is not None:
+        p = {
+            k: p[k] * mask[k].astype(p[k].dtype)
+            + frozen[k] * (1.0 - mask[k]).astype(p[k].dtype)
+            for k in p
+        }
+    return p, {
+        "iterations": jnp.asarray(done),
+        "losses": jnp.asarray(losses_full),
+        "loss": jnp.asarray(best),
+        "stopped_by": stopped or "max_iter",
+    }
 
 
 # ---------------------------------------------------------------------------

@@ -165,3 +165,54 @@ def test_adam_nonfinite_loss_stops_early_without_rejection():
 
     _, info = opt.adam_fit(loss_fn, params, max_iter=500, patience=10)
     assert int(info["iterations"]) == 1  # bails on the first NaN
+
+
+def test_lbfgs_chunked_matches_monolithic():
+    """chunk=max_iter is one program; smaller chunks must reproduce the
+    identical trajectory (the optax state, including the linesearch's
+    cached value/grad, crosses the host boundary intact)."""
+    params, loss_fn = make_problem()
+    p_one, info_one = opt.lbfgs_fit_chunked(loss_fn, params, max_iter=12,
+                                            chunk=12)
+    p_chk, info_chk = opt.lbfgs_fit_chunked(loss_fn, params, max_iter=12,
+                                            chunk=4)
+    for k in p_one:
+        np.testing.assert_allclose(np.asarray(p_chk[k]), np.asarray(p_one[k]),
+                                   rtol=1e-6, atol=1e-8)
+    l_one = np.asarray(info_one["losses"])
+    l_chk = np.asarray(info_chk["losses"])
+    np.testing.assert_allclose(l_chk, l_one, rtol=1e-6, atol=1e-8)
+    assert float(np.nanmin(l_one)) < float(loss_fn(params))
+
+
+def test_lbfgs_chunked_band_stop():
+    """stop_loss halts at band entry (bench.py's band-entry semantics)
+    without running to max_iter."""
+    params, loss_fn = make_problem()
+    # a full run establishes the reachable loss level
+    _, info_full = opt.lbfgs_fit_chunked(loss_fn, params, max_iter=24,
+                                         chunk=6)
+    target = float(np.nanmin(np.asarray(info_full["losses"])[:12]))
+    p, info = opt.lbfgs_fit_chunked(loss_fn, params, max_iter=24, chunk=6,
+                                    stop_loss=target)
+    assert info["stopped_by"] == "stop_loss_band"
+    assert int(info["iterations"]) <= 18
+    losses = np.asarray(info["losses"])
+    assert np.nanmin(losses) <= target + 1e-5 * abs(target)
+
+
+def test_lbfgs_chunked_mask_freezes():
+    params, loss_fn = make_problem()
+    fitted, _ = opt.lbfgs_fit_chunked(loss_fn, params, max_iter=8, chunk=4,
+                                      mask=opt.mask_except(params, ("z",)))
+    np.testing.assert_array_equal(np.asarray(fitted["z"]),
+                                  np.asarray(params["z"]))
+
+
+def test_lbfgs_chunked_floors_projection():
+    """floors are enforced at every chunk boundary."""
+    params, loss_fn = make_problem()
+    floor = {"log_noise_variance": 0.5}  # absurdly high: must bind
+    fitted, _ = opt.lbfgs_fit_chunked(loss_fn, params, max_iter=8, chunk=4,
+                                      floors=floor)
+    assert float(fitted["log_noise_variance"]) >= 0.5 - 1e-6
