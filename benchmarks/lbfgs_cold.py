@@ -13,9 +13,20 @@ linesearches, ~118 s device-side; relay contention can stretch that chunk —
 docs/PERFORMANCE.md "Cold fits: L-BFGS"). The trajectory itself is
 deterministic: every run reproduces the same per-iteration losses.
 
+At N >= 65,536 the (N, N) Gram buffer no longer fits HBM, so the loss
+switches to the matrix-free BBMM CG+SLQ engine (gp/exact_cg.py, 127 probes /
+24 iterations — the bench cg-131k unit) and, with no committed L* at that
+scale, the stop is the reference plateau rule applied per L-BFGS iteration
+(rel-tol 1e-5, patience GPRAS_LBFGS_PATIENCE, default 10 — each iteration
+costs 1-3 full NLML evaluations, so 50 would waste ~10 min post-plateau).
+chunk defaults to 1 there: one L-BFGS iteration is already up to
+(1 + LS) * ~6 s of device time in ONE program, and the tunneled worker
+kills programs well short of 166 s (docs/PERFORMANCE.md, N=524,288 entry).
+
 Run: ``python benchmarks/lbfgs_cold.py [N] [MAX_ITER] [CHUNK]``
-Knobs: GPRAS_LBFGS_LS (max zoom-linesearch steps, default 8),
-GPRAS_LBFGS_MEM (memory pairs, default 15).
+Knobs: GPRAS_LBFGS_LS (max zoom-linesearch steps, default 8; 4 at N>=64k),
+GPRAS_LBFGS_MEM (memory pairs, default 15), GPRAS_LBFGS_PATIENCE
+(plateau patience in iterations, default 10).
 """
 
 from __future__ import annotations
@@ -43,20 +54,34 @@ def main() -> dict:
     from gpras_tpu.gp import exact
 
     n = int(sys.argv[1]) if len(sys.argv) > 1 else 49152
-    max_iter = int(sys.argv[2]) if len(sys.argv) > 2 else 64
-    chunk = int(sys.argv[3]) if len(sys.argv) > 3 else 8
-    ls = int(os.environ.get("GPRAS_LBFGS_LS", "8"))
+    big = n >= 65536
+    max_iter = int(sys.argv[2]) if len(sys.argv) > 2 else (40 if big else 64)
+    chunk = int(sys.argv[3]) if len(sys.argv) > 3 else (1 if big else 8)
+    ls = int(os.environ.get("GPRAS_LBFGS_LS", "4" if big else "8"))
     mem = int(os.environ.get("GPRAS_LBFGS_MEM", "15"))
+    patience = int(os.environ.get("GPRAS_LBFGS_PATIENCE", "10"))
 
     x, y = bench._make_data(n, 8, jnp.float32)
     params0 = exact.init_params("Matern52", x, noise_variance=0.1)
-    loss = bench._robust_loss("Matern52", n)
     key = jax.random.PRNGKey(0)
+    if big:
+        # matrix-free BBMM CG+SLQ (the bench cg unit: 127 probes, 24 iters)
+        from gpras_tpu.gp.exact_cg import make_cg_training_loss
+
+        loss = make_cg_training_loss(
+            "Matern52",
+            probes=int(os.environ.get("GPRAS_BENCH_CG_PROBES", "127")),
+            max_iters=int(os.environ.get("GPRAS_BENCH_CG_ITERS", "24")),
+            row_panel=4096, col_panel=4096)
+    else:
+        loss = bench._robust_loss("Matern52", n)
 
     def loss_fn(p):
-        # fixed probe key: the Hutchinson VALUE is exact either way; fixing
-        # the probes makes the loss a deterministic function for the
-        # linesearch (bench.py:409)
+        # fixed probe key: the stochastic-trace VALUE term is exact either
+        # way (Hutchinson randomizes only the gradient estimator; SLQ's
+        # logdet quadrature is deterministic given the probes); fixing the
+        # probes makes the loss a pure function for the linesearch
+        # (bench.py:409)
         return loss(p, x, y, key)
 
     ref = json.loads(
@@ -71,18 +96,27 @@ def main() -> dict:
     t0 = time.perf_counter()
     p, info = lbfgs_fit_chunked(
         loss_fn, params0, max_iter=max_iter, chunk=chunk, memory_size=mem,
-        max_linesearch_steps=ls, stop_loss=l_star,
+        max_linesearch_steps=ls, stop_loss=l_star, patience=patience,
         floors={"log_noise_variance": float(np.log(1e-4))})
     total = time.perf_counter() - t0
 
     losses = np.asarray(info["losses"])
     finite = losses[np.isfinite(losses)]
+    # first iteration whose loss is within rel-tol of the final best —
+    # where the plateau actually started (the patience tail is overhead)
+    plateau_at = None
+    if finite.size:
+        best_v = float(finite.min())
+        ok = np.where(losses <= best_v + 1e-5 * abs(best_v))[0]
+        plateau_at = int(ok[0]) + 1 if ok.size else None
     out = {
         "n": n,
+        "engine": "cg" if big else "hutchinson",
         "iterations": int(info["iterations"]),
         "stopped_by": info["stopped_by"],
         "cold_lbfgs_seconds": round(total, 1),
         "best_loss": round(float(finite.min()), 2) if finite.size else None,
+        "plateau_entry_iteration": plateau_at,
         "l_star": l_star,
         "cold_adam_seconds_ref": ref.get("cold_converged_fit_seconds")
         if l_star is not None else None,

@@ -298,13 +298,26 @@ def lbfgs_fit_chunked(
     187 nats below Adam's 600-step best by iteration 32
     (docs/PERFORMANCE.md "Cold fits: L-BFGS").
     """
+    # Pin the loss to the caller's param dtypes: optax's zoom linesearch
+    # evaluates along the line with weak-f64 stepsizes, which under
+    # jax_enable_x64 promotes f32 params to f64 before they reach the loss
+    # (and would flip the fori_loop carry dtype after apply_updates).
+    dtypes = {k: params[k].dtype for k in params}
+
+    def _pin(p: Params) -> Params:
+        return {k: jnp.asarray(p[k], dtypes[k]) for k in p}
+
     if mask is None:
-        masked_loss = loss_fn
+
+        def masked_loss(p: Params) -> Array:
+            return loss_fn(_pin(p))
+
         frozen: Params = {}
     else:
         frozen = {k: params[k] for k in params}
 
         def masked_loss(p: Params) -> Array:
+            p = _pin(p)
             merged = {
                 k: p[k] * mask[k].astype(p[k].dtype)
                 + frozen[k] * (1.0 - mask[k]).astype(p[k].dtype)
@@ -326,7 +339,7 @@ def lbfgs_fit_chunked(
             updates, opt_state = opt.update(
                 grads, opt_state, p, value=val, grad=grads,
                 value_fn=masked_loss)
-            p = optax.apply_updates(p, updates)
+            p = _pin(optax.apply_updates(p, updates))
             return p, opt_state, losses.at[i].set(val)
 
         dtype = p[next(iter(p))].dtype

@@ -325,6 +325,9 @@ def make_cg_nlml(kernel: str, probes: int = 16, max_iters: int = 32,
 
     def bwd(res, g):
         params, x, alpha, w, v = res
+        # cast a possibly weak-f64-promoted cotangent (e.g. optax zoom
+        # linesearch under jax_enable_x64) back to the engine dtype
+        g = jnp.asarray(g, x.dtype)
         grads = _cotangent_grads(kernel, params, x, alpha, w, v, g,
                                  1.0 / probes, col_panel)
         return grads, jnp.zeros_like(x), g * alpha, None

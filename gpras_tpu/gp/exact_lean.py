@@ -93,6 +93,9 @@ def make_lean_nlml(kernel: str, col_panel: int = 2048,
 
     def bwd(res, g):
         params, x, y, l, alpha = res
+        # cast a possibly weak-f64-promoted cotangent (e.g. optax zoom
+        # linesearch under jax_enable_x64) back to the engine dtype
+        g = jnp.asarray(g, x.dtype)
         n = x.shape[0]
         from gpras_tpu.ops.block_cholesky import fit_block
 

@@ -105,6 +105,10 @@ def make_hutchinson_nlml(kernel: str, probes: int = 16, col_panel: int = 4096,
 
     def bwd(res, g):
         params, x, y, key, l, alpha = res
+        # upstream weak-f64 arithmetic on the loss (e.g. optax's zoom
+        # linesearch under jax_enable_x64) can deliver a promoted cotangent;
+        # the engine computes in the data dtype
+        g = jnp.asarray(g, x.dtype)
         n = x.shape[0]
         from gpras_tpu.ops.block_cholesky import fit_block
 

@@ -209,6 +209,30 @@ def test_lbfgs_chunked_mask_freezes():
                                   np.asarray(params["z"]))
 
 
+def test_lbfgs_cold_benchmark_smoke(monkeypatch, capsys):
+    """benchmarks/lbfgs_cold.py runs end-to-end at tiny N on CPU and emits
+    the JSON contract bench/PERFORMANCE cite (band/plateau protocol)."""
+    import importlib
+    import json
+    import sys
+    from pathlib import Path
+
+    sys.path.insert(0, str(Path(__file__).resolve().parent.parent
+                           / "benchmarks"))
+    try:
+        lbfgs_cold = importlib.import_module("lbfgs_cold")
+    finally:
+        sys.path.pop(0)
+    monkeypatch.setattr(sys, "argv", ["lbfgs_cold.py", "512", "6", "3"])
+    out = lbfgs_cold.main()
+    line = capsys.readouterr().out.strip().splitlines()[-1]
+    assert json.loads(line) == out
+    assert out["n"] == 512 and out["engine"] == "hutchinson"
+    assert out["stopped_by"] in ("max_iter", "plateau_rule")
+    assert out["iterations"] >= 3 and out["best_loss"] is not None
+    assert out["l_star"] is None  # no committed reference at this N
+
+
 def test_lbfgs_chunked_floors_projection():
     """floors are enforced at every chunk boundary."""
     params, loss_fn = make_problem()

@@ -99,6 +99,12 @@ def test_package_lazy_exports():
     assert gpras_tpu.HmsPreProcessor.__name__ == "HmsPreProcessor"
     assert pl.Config.__name__ == "Config"
     assert callable(pl.pipeline)
+    # the submodule gpras_tpu.pipeline.pipeline shares the attribute name:
+    # importing it binds the MODULE onto the package, which must not shadow
+    # the documented function export (property on the package module class)
+    import gpras_tpu.pipeline.pipeline  # noqa: F401
+
+    assert callable(pl.pipeline) and pl.pipeline.__name__ == "pipeline"
     with pytest.raises(AttributeError):
         _ = gpras_tpu.not_a_symbol
     with pytest.raises(AttributeError):
