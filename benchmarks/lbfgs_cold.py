@@ -94,10 +94,17 @@ def main() -> dict:
     print(f"# warmup ok (chunk of {chunk} at N={n})", file=sys.stderr)
 
     t0 = time.perf_counter()
+
+    def report(done: int, best: float) -> None:
+        dt = time.perf_counter() - t0
+        print(f"# iter {done:3d}  t={dt:7.1f}s  best={best:.2f}",
+              file=sys.stderr, flush=True)
+
     p, info = lbfgs_fit_chunked(
         loss_fn, params0, max_iter=max_iter, chunk=chunk, memory_size=mem,
         max_linesearch_steps=ls, stop_loss=l_star, patience=patience,
-        floors={"log_noise_variance": float(np.log(1e-4))})
+        floors={"log_noise_variance": float(np.log(1e-4))},
+        progress=report)
     total = time.perf_counter() - t0
 
     losses = np.asarray(info["losses"])

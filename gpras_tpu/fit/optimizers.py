@@ -272,6 +272,7 @@ def lbfgs_fit_chunked(
     stop_loss: float | None = None,
     tol: float = 1e-5,
     patience: int = 50,
+    progress: Callable[[int, float], None] | None = None,
 ) -> tuple[Params, dict[str, Any]]:
     """Host-chunked L-BFGS: the same optax update/zoom-linesearch math as
     ``lbfgs_fit``, dispatched as ceil(max_iter / chunk) compiled programs of
@@ -290,7 +291,9 @@ def lbfgs_fit_chunked(
     once loss <= stop_loss + tol*|stop_loss|, the bench.py band-entry
     semantics), ``floors`` projection between chunks (see
     ``_apply_floors``), and rejects a chunk whose every loss is non-finite
-    (reverting to the pre-chunk state).
+    (reverting to the pre-chunk state). ``progress(iterations_done,
+    best_loss)`` is called after every chunk's host sync — a 131k CG-engine
+    iteration costs ~27 s, so long fits need observability.
 
     Measured at N=49,152 (Matern52, Hutchinson stochastic-trace loss,
     bench.py's seeded problem): enters the committed 600-step-Adam L* band
@@ -363,6 +366,9 @@ def lbfgs_fit_chunked(
             p = _apply_floors(p, floors)
         done += chunk
         all_losses.append(lv)
+        if progress is not None:
+            fin = lv[np.isfinite(lv)]
+            progress(done, min(best, float(fin.min())) if fin.size else best)
         for v in lv:
             if not np.isfinite(v):
                 count += 1

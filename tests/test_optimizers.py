@@ -185,6 +185,18 @@ def test_lbfgs_chunked_matches_monolithic():
     assert float(np.nanmin(l_one)) < float(loss_fn(params))
 
 
+def test_lbfgs_chunked_progress_callback():
+    params, loss_fn = make_problem()
+    seen = []
+    opt.lbfgs_fit_chunked(loss_fn, params, max_iter=12, chunk=4,
+                          progress=lambda done, best: seen.append((done,
+                                                                   best)))
+    assert [d for d, _ in seen] == [4, 8, 12]
+    assert all(np.isfinite(b) for _, b in seen)
+    # best is monotone non-increasing across chunks
+    assert all(b2 <= b1 + 1e-12 for (_, b1), (_, b2) in zip(seen, seen[1:]))
+
+
 def test_lbfgs_chunked_band_stop():
     """stop_loss halts at band entry (bench.py's band-entry semantics)
     without running to max_iter."""
