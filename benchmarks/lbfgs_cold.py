@@ -50,48 +50,26 @@ def main() -> dict:
     import jax.numpy as jnp
 
     import bench
-    from gpras_tpu.fit.optimizers import lbfgs_fit_chunked
-    from gpras_tpu.gp import exact
+    from gpras_tpu.gp.coldfit import CG_THRESHOLD, fit_exact
 
     n = int(sys.argv[1]) if len(sys.argv) > 1 else 49152
-    big = n >= 65536
-    max_iter = int(sys.argv[2]) if len(sys.argv) > 2 else (40 if big else 64)
-    chunk = int(sys.argv[3]) if len(sys.argv) > 3 else (1 if big else 8)
+    big = n >= CG_THRESHOLD
+    max_iter = int(sys.argv[2]) if len(sys.argv) > 2 else (56 if big else 64)
+    chunk = int(sys.argv[3]) if len(sys.argv) > 3 else None
     ls = int(os.environ.get("GPRAS_LBFGS_LS", "4" if big else "8"))
     mem = int(os.environ.get("GPRAS_LBFGS_MEM", "15"))
     patience = int(os.environ.get("GPRAS_LBFGS_PATIENCE", "10"))
 
     x, y = bench._make_data(n, 8, jnp.float32)
-    params0 = exact.init_params("Matern52", x, noise_variance=0.1)
-    key = jax.random.PRNGKey(0)
-    if big:
-        # matrix-free BBMM CG+SLQ (the bench cg unit: 127 probes, 24 iters)
-        from gpras_tpu.gp.exact_cg import make_cg_training_loss
-
-        loss = make_cg_training_loss(
-            "Matern52",
-            probes=int(os.environ.get("GPRAS_BENCH_CG_PROBES", "127")),
-            max_iters=int(os.environ.get("GPRAS_BENCH_CG_ITERS", "24")),
-            row_panel=4096, col_panel=4096)
-    else:
-        loss = bench._robust_loss("Matern52", n)
-
-    def loss_fn(p):
-        # fixed probe key: the stochastic-trace VALUE term is exact either
-        # way (Hutchinson randomizes only the gradient estimator; SLQ's
-        # logdet quadrature is deterministic given the probes); fixing the
-        # probes makes the loss a pure function for the linesearch
-        # (bench.py:409)
-        return loss(p, x, y, key)
 
     ref = json.loads(
         (REPO / "benchmarks" / "convergence_reference.json").read_text())
     l_star = float(ref["l_star"]) if int(ref.get("n", -1)) == n else None
 
     # warmup on a throwaway copy: compile/load only (one chunk program)
-    _ = lbfgs_fit_chunked(loss_fn, params0, max_iter=chunk, chunk=chunk,
-                          memory_size=mem, max_linesearch_steps=ls)
-    print(f"# warmup ok (chunk of {chunk} at N={n})", file=sys.stderr)
+    _ = fit_exact("Matern52", x, y, max_iter=1, chunk=1, memory_size=mem,
+                  max_linesearch_steps=ls)
+    print(f"# warmup ok (N={n})", file=sys.stderr)
 
     t0 = time.perf_counter()
 
@@ -100,10 +78,12 @@ def main() -> dict:
         print(f"# iter {done:3d}  t={dt:7.1f}s  best={best:.2f}",
               file=sys.stderr, flush=True)
 
-    p, info = lbfgs_fit_chunked(
-        loss_fn, params0, max_iter=max_iter, chunk=chunk, memory_size=mem,
+    p, info = fit_exact(
+        "Matern52", x, y, max_iter=max_iter, chunk=chunk, memory_size=mem,
         max_linesearch_steps=ls, stop_loss=l_star, patience=patience,
-        floors={"log_noise_variance": float(np.log(1e-4))},
+        probes=int(os.environ["GPRAS_BENCH_CG_PROBES"])
+        if big and "GPRAS_BENCH_CG_PROBES" in os.environ else None,
+        cg_iters=int(os.environ.get("GPRAS_BENCH_CG_ITERS", "24")),
         progress=report)
     total = time.perf_counter() - t0
 
@@ -118,7 +98,7 @@ def main() -> dict:
         plateau_at = int(ok[0]) + 1 if ok.size else None
     out = {
         "n": n,
-        "engine": "cg" if big else "hutchinson",
+        "engine": info["engine"],
         "iterations": int(info["iterations"]),
         "stopped_by": info["stopped_by"],
         "cold_lbfgs_seconds": round(total, 1),

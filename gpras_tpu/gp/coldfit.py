@@ -1,0 +1,138 @@
+"""Cold exact-GP fits from standard init: the measured fastest protocol.
+
+The reference's only training loop is fixed-lr Adam with a plateau rule
+(gpras/gpr.py:44-214); cold-fitting a large-N exact GP that way costs 600+
+steps (614 s at N=49,152 — benchmarks/convergence_reference.json). This
+module packages the measured-fastest cold protocol as a library call:
+zoom-linesearch L-BFGS through the host-chunked driver
+(fit/optimizers.lbfgs_fit_chunked), over the engine the problem size calls
+for (docs/PERFORMANCE.md "Cold fits: L-BFGS"):
+
+- N < 64k: Hutchinson stochastic-trace loss over the in-place super-panel
+  factorization (the (N, N) Gram fits HBM). Measured at N=49,152: enters
+  the committed Adam-L* stopping band at iteration 23, ~134 s — 4.6x cold
+  Adam.
+- N >= 64k: matrix-free BBMM CG+SLQ (the Gram matrix never exists).
+  Measured at N=131,072: the reference plateau rule fires at iteration 43,
+  ~782 s — the first cold convergence ever measured at that scale on one
+  chip.
+
+The loss is made a pure function by fixing the probe key: Hutchinson
+randomizes only the gradient estimator and SLQ's quadrature is
+deterministic given the probes, so the linesearch sees a deterministic
+objective and the whole trajectory reproduces bit-for-bit.
+
+``benchmarks/lbfgs_cold.py`` is the measured protocol driving this API.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Any, Callable
+
+import jax
+
+from gpras_tpu.fit.optimizers import lbfgs_fit_chunked
+from gpras_tpu.gp import exact
+
+Array = jax.Array
+
+#: Dense-factorization HBM ceiling: above this the (N, N) f32 Gram + factor
+#: no longer fit a 16 GB chip and the matrix-free CG engine takes over.
+CG_THRESHOLD = 65536
+
+
+def _dense_loss(kernel: str, n: int, probes: int):
+    # engine knobs from the round-3 TPU sweeps (docs/PERFORMANCE.md): the
+    # in-place super-panel factorization above 32k (XLA's cholesky lowering
+    # takes unbounded compile time there and needs separate K+L buffers),
+    # (w=512, strip=2048) panels at 49k+
+    from gpras_tpu.gp.exact_stochastic import make_hutchinson_training_loss
+
+    if n >= 32768:
+        return make_hutchinson_training_loss(
+            kernel, probes=probes, col_panel=4096, chol="super",
+            chol_strip=2048, chol_w=512)
+    return make_hutchinson_training_loss(kernel, probes=probes,
+                                         col_panel=4096)
+
+
+def _cg_loss(kernel: str, probes: int, cg_iters: int):
+    from gpras_tpu.gp.exact_cg import make_cg_training_loss
+
+    return make_cg_training_loss(kernel, probes=probes, max_iters=cg_iters,
+                                 row_panel=4096, col_panel=4096)
+
+
+def fit_exact(
+    kernel: str,
+    x: Array,
+    y: Array,
+    *,
+    engine: str = "auto",
+    max_iter: int | None = None,
+    chunk: int | None = None,
+    memory_size: int = 15,
+    max_linesearch_steps: int | None = None,
+    tol: float = 1e-5,
+    patience: int = 10,
+    stop_loss: float | None = None,
+    noise_variance: float = 0.1,
+    noise_floor: float = 1e-4,
+    probes: int | None = None,
+    cg_iters: int = 24,
+    key: Array | None = None,
+    progress: Callable[[int, float], None] | None = None,
+) -> tuple[dict[str, Array], dict[str, Any]]:
+    """Cold-fit an exact GP's hyperparameters from standard init.
+
+    Engine ``auto`` picks Hutchinson below N=65,536 and matrix-free CG at or
+    above (override to ``"hutchinson"``/``"cg"`` to force). ``patience``
+    counts L-BFGS ITERATIONS (each costs 1-3 NLML evaluations, so the
+    reference's patience=50 — tuned for 1-eval Adam steps,
+    gpras/gpr.py:162-173 — would waste many minutes post-plateau; the
+    measured plateau-to-rule-fire tail at 131k is ~11 iterations).
+    ``stop_loss`` stops at band entry (loss <= stop_loss + tol*|stop_loss|)
+    when a converged target is known. Returns ``(params, info)`` with
+    ``info["stopped_by"]`` one of ``stop_loss_band`` / ``plateau_rule`` /
+    ``max_iter`` / ``non_finite_chunk``.
+    """
+    n = x.shape[0]
+    if engine == "auto":
+        engine = "cg" if n >= CG_THRESHOLD else "hutchinson"
+    if engine not in ("hutchinson", "cg"):
+        raise ValueError(f"unknown engine {engine!r}; "
+                         "expected auto|hutchinson|cg")
+    big = engine == "cg"
+    if max_iter is None:
+        max_iter = 64
+    if chunk is None:
+        # one CG-engine L-BFGS iteration is already up to
+        # (1 + linesearch) * ~6 s of device time in ONE program; the
+        # tunneled worker kills long programs (docs/PERFORMANCE.md,
+        # N=524,288 entry)
+        chunk = 1 if big else 8
+    if max_linesearch_steps is None:
+        max_linesearch_steps = 4 if big else 8
+    if probes is None:
+        # the fused Pallas matvec lane-pads RHS to 128 columns, so 127
+        # probes (+1 for y) cost the same as 16 on the CG path
+        probes = 127 if big else 16
+    if key is None:
+        key = jax.random.PRNGKey(0)
+
+    params0 = exact.init_params(kernel, x, noise_variance=noise_variance)
+    loss = (_cg_loss(kernel, probes, cg_iters) if big
+            else _dense_loss(kernel, n, probes))
+
+    def loss_fn(p: dict[str, Array]) -> Array:
+        return loss(p, x, y, key)
+
+    params, info = lbfgs_fit_chunked(
+        loss_fn, params0, max_iter=max_iter, chunk=chunk,
+        memory_size=memory_size, max_linesearch_steps=max_linesearch_steps,
+        tol=tol, patience=patience, stop_loss=stop_loss,
+        floors={"log_noise_variance": float(math.log(noise_floor))},
+        progress=progress)
+    info["engine"] = engine
+    return params, info
