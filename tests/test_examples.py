@@ -36,6 +36,15 @@ def test_serving_example():
     assert all(dt > 0 for dt in lat.values())
 
 
+def test_cold_fit_example():
+    cf = _load("cold_fit")
+    rmse, cover, info = cf.main(n=512, d=3, max_iter=8, chunk=4,
+                                verbose=False)
+    assert np.isfinite(rmse) and rmse < 1.0
+    assert 0.5 <= cover <= 1.0
+    assert info["engine"] == "hutchinson"
+
+
 def test_cli_predict_from_artifacts(tmp_path):
     from gpras_tpu.__main__ import main
 
