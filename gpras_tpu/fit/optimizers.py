@@ -372,7 +372,7 @@ def lbfgs_fit_chunked(
         for v in lv:
             if not np.isfinite(v):
                 count += 1
-            elif (best - v) / abs(v) > tol:
+            elif (best - v) / max(abs(v), 1e-300) > tol:
                 best, count = float(v), 0
             else:
                 count += 1
@@ -397,6 +397,242 @@ def lbfgs_fit_chunked(
         "losses": jnp.asarray(losses_full),
         "loss": jnp.asarray(best),
         "stopped_by": stopped or "max_iter",
+    }
+
+
+def _flatten(params: Params, order: list[str]) -> np.ndarray:
+    return np.concatenate(
+        [np.asarray(params[k], np.float64).ravel() for k in order])
+
+
+def _unflatten(vec: np.ndarray, template: Params,
+               order: list[str]) -> Params:
+    out: Params = {}
+    i = 0
+    for k in order:
+        t = template[k]
+        sz = int(np.prod(t.shape)) if t.shape else 1
+        out[k] = jnp.asarray(vec[i:i + sz].reshape(t.shape), t.dtype)
+        i += sz
+    return out
+
+
+def lbfgs_fit_hostls(
+    value_and_grad_fn: Callable[[Params], tuple[float, Params]],
+    params: Params,
+    max_iter: int = 64,
+    memory_size: int = 15,
+    max_linesearch_steps: int = 8,
+    c1: float = 1e-4,
+    c2: float = 0.9,
+    floors: dict[str, float] | None = None,
+    stop_loss: float | None = None,
+    tol: float = 1e-5,
+    patience: int = 10,
+    progress: Callable[[int, float], None] | None = None,
+) -> tuple[Params, dict[str, Any]]:
+    """L-BFGS with the ENTIRE optimizer on the host: two-loop recursion and
+    the strong-Wolfe bracket/zoom linesearch run in float64 numpy, and every
+    NLML evaluation is its own ``value_and_grad_fn(params) -> (float, grads)``
+    call — a host function free to dispatch one jitted program or several
+    (e.g. ``exact_cg.make_cg_step_chunked``, whose CG segments are each a
+    bounded-device-time program).
+
+    Why a third L-BFGS driver exists (the ladder):
+
+    - ``lbfgs_fit`` — one monolithic jitted program (optax); right whenever
+      the whole fit fits the device budget (vmapped per-mode fits).
+    - ``lbfgs_fit_chunked`` — optax state carried across chunk programs of
+      whole iterations; right while ONE iteration (1 + linesearch evals,
+      each a full factorization or CG solve) stays under the tunneled
+      worker's per-program execution budget. Measured: fine at N=131,072
+      (~30 s worst-case programs), but at N=262,144 a 4-eval linesearch
+      program (~94 s device time) CRASHES the worker (the budget sits
+      between ~73 s and ~94 s — docs/PERFORMANCE.md).
+    - this driver — no program ever contains more than one eval (and the
+      eval itself may be segmented), so iteration cost is unbounded-N-safe;
+      the price is one host round trip per eval (~40 ms on the relay,
+      invisible next to 20-100 s evals).
+
+    Early-stop semantics match ``lbfgs_fit_chunked``: reference plateau rule
+    (rel-tol ``tol``, ``patience`` L-BFGS iterations), optional ``stop_loss``
+    band entry, ``floors`` projection between iterations, and a non-finite /
+    no-descent linesearch ends the fit on the last good iterate. The Wolfe
+    parameters are the classics (c1=1e-4, c2=0.9, Nocedal & Wright alg.
+    3.5-3.6, quadratic-bisection zoom).
+    """
+    order = sorted(params.keys())
+    template = {k: params[k] for k in order}
+
+    def vag(vec: np.ndarray) -> tuple[float, np.ndarray]:
+        val, grads = value_and_grad_fn(_unflatten(vec, template, order))
+        return float(val), _flatten(grads, order)
+
+    x = _flatten(params, order)
+    f0, g = vag(x)
+    evals = 1
+    if not np.isfinite(f0):
+        return params, {
+            "iterations": jnp.asarray(0),
+            "losses": jnp.asarray(np.full((max_iter,), np.nan, np.float32)),
+            "loss": jnp.asarray(np.nan, jnp.float32),
+            "stopped_by": "non_finite_init", "evals": evals,
+        }
+
+    s_mem: list[np.ndarray] = []
+    y_mem: list[np.ndarray] = []
+    losses = np.full((max_iter,), np.nan, np.float32)
+    best = f0
+    best_x = x.copy()
+    count = 0
+    stopped = ""
+    done = 0
+
+    for it in range(max_iter):
+        # two-loop recursion for d = -H g
+        q = g.copy()
+        alphas = []
+        for s, yv in zip(reversed(s_mem), reversed(y_mem)):
+            a = (s @ q) / (yv @ s)
+            alphas.append(a)
+            q -= a * yv
+        if s_mem:
+            gamma = (s_mem[-1] @ y_mem[-1]) / (y_mem[-1] @ y_mem[-1])
+            q *= gamma
+        for (s, yv), a in zip(zip(s_mem, y_mem), reversed(alphas)):
+            b = (yv @ q) / (yv @ s)
+            q += (a - b) * s
+        d = -q
+        slope0 = g @ d
+        if not np.isfinite(slope0) or slope0 >= 0.0:
+            d = -g  # reset to steepest descent on a bad pair
+            slope0 = g @ d
+            s_mem.clear()
+            y_mem.clear()
+
+        # strong-Wolfe linesearch (bracket + zoom) on phi(a) = f(x + a d)
+        def phi(a: float) -> tuple[float, np.ndarray, float]:
+            fv, gv = vag(x + a * d)
+            return fv, gv, (gv @ d if np.all(np.isfinite(gv)) else np.nan)
+
+        a_prev, f_prev, slope_prev = 0.0, f0, slope0
+        g_prev = None
+        a_cur = 1.0 if s_mem else min(1.0, 1.0 / max(1.0,
+                                                     float(np.abs(g).sum())))
+        lo = hi = None  # zoom bracket: (a, f, slope) tuples
+        accepted = None
+        ls_evals = 0
+        while ls_evals < max_linesearch_steps:
+            f_cur, g_cur, slope_cur = phi(a_cur)
+            evals += 1
+            ls_evals += 1
+            if not np.isfinite(f_cur):
+                a_cur = 0.5 * (a_prev + a_cur)  # pull back toward the base
+                continue
+            if f_cur > f0 + c1 * a_cur * slope0 or \
+                    (a_prev > 0.0 and f_cur >= f_prev):
+                lo, hi = (a_prev, f_prev, slope_prev), (a_cur, f_cur,
+                                                        slope_cur)
+                break
+            if abs(slope_cur) <= -c2 * slope0:
+                accepted = (a_cur, f_cur, g_cur)
+                break
+            if slope_cur >= 0.0:
+                lo, hi = (a_cur, f_cur, slope_cur), (a_prev, f_prev,
+                                                     slope_prev)
+                break
+            a_prev, f_prev, slope_prev = a_cur, f_cur, slope_cur
+            g_prev = g_cur
+            a_cur = 2.0 * a_cur
+        if accepted is None and lo is None and a_prev > 0.0 and \
+                f_prev < f0 and g_prev is not None:
+            # expansion exhausted the budget while every trial satisfied
+            # Armijo and kept descending: the last point is a valid step
+            accepted = (a_prev, f_prev, g_prev)
+        while accepted is None and lo is not None and \
+                ls_evals < max_linesearch_steps:
+            # zoom: quadratic interpolation, bisection fallback
+            a_lo, f_lo, s_lo = lo
+            a_hi, f_hi, _ = hi
+            denom = 2.0 * (f_hi - f_lo - s_lo * (a_hi - a_lo))
+            a_j = a_lo + (-s_lo * (a_hi - a_lo) ** 2 / denom
+                          if abs(denom) > 1e-300 else 0.5 * (a_hi - a_lo))
+            width = abs(a_hi - a_lo)
+            if not np.isfinite(a_j) or \
+                    not (min(a_lo, a_hi) + 0.1 * width <= a_j
+                         <= max(a_lo, a_hi) - 0.1 * width):
+                a_j = 0.5 * (a_lo + a_hi)
+            f_j, g_j, slope_j = phi(a_j)
+            evals += 1
+            ls_evals += 1
+            if not np.isfinite(f_j) or f_j > f0 + c1 * a_j * slope0 or \
+                    f_j >= f_lo:
+                hi = (a_j, f_j, slope_j)
+            else:
+                if abs(slope_j) <= -c2 * slope0:
+                    accepted = (a_j, f_j, g_j)
+                    break
+                if slope_j * (a_hi - a_lo) >= 0.0:
+                    hi = lo
+                lo = (a_j, f_j, slope_j)
+            if width < 1e-12:
+                break
+        if accepted is None:
+            # no Wolfe point inside the budget: take the best finite
+            # decrease seen in the zoom bracket, else stop
+            cand = [t for t in (lo, hi) if t is not None
+                    and np.isfinite(t[1]) and t[1] < f0 and t[0] > 0.0]
+            if not cand:
+                stopped = "linesearch_failure"
+                break
+            a_b, f_b, _ = min(cand, key=lambda t: t[1])
+            f_new, g_new = vag(x + a_b * d)
+            evals += 1
+            accepted = (a_b, f_new, g_new)
+
+        a_acc, f_new, g_new = accepted
+        x_new = x + a_acc * d
+        if floors:
+            p_proj = _apply_floors(_unflatten(x_new, template, order),
+                                   floors)
+            x_new = _flatten(p_proj, order)
+        s_vec = x_new - x
+        y_vec = g_new - g
+        if np.isfinite(y_vec @ s_vec) and (y_vec @ s_vec) > 1e-10 * \
+                np.linalg.norm(s_vec) * np.linalg.norm(y_vec):
+            s_mem.append(s_vec)
+            y_mem.append(y_vec)
+            if len(s_mem) > memory_size:
+                s_mem.pop(0)
+                y_mem.pop(0)
+        x, f0, g = x_new, f_new, g_new
+        losses[it] = f_new
+        done = it + 1
+        if progress is not None:
+            progress(done, min(best, f_new))
+        if f_new < best:
+            if (best - f_new) / max(abs(f_new), 1e-300) > tol:
+                count = 0
+            else:
+                count += 1
+            best, best_x = f_new, x.copy()
+        else:
+            count += 1
+        if stop_loss is not None and \
+                f_new <= stop_loss + tol * abs(stop_loss):
+            stopped = "stop_loss_band"
+            break
+        if count > patience:
+            stopped = "plateau_rule"
+            break
+
+    p_out = _unflatten(best_x, template, order)
+    return p_out, {
+        "iterations": jnp.asarray(done),
+        "losses": jnp.asarray(losses),
+        "loss": jnp.asarray(best, jnp.float32),
+        "stopped_by": stopped or "max_iter",
+        "evals": evals,
     }
 
 

@@ -16,6 +16,12 @@ for (docs/PERFORMANCE.md "Cold fits: L-BFGS"):
   Measured at N=131,072: the reference plateau rule fires at iteration 43,
   ~782 s — the first cold convergence ever measured at that scale on one
   chip.
+- N >= 192k: same CG engine, but the linesearch moves to the HOST
+  (fit/optimizers.lbfgs_fit_hostls) and each NLML evaluation dispatches as
+  seg_iters-iteration CG segment programs (exact_cg.make_cg_step_chunked):
+  at N=262,144 a device-side 4-eval linesearch program (~94 s) crashes the
+  tunneled worker (measured — its budget sits between ~73 s and ~94 s), so
+  no program may contain more than one bounded evaluation.
 
 The loss is made a pure function by fixing the probe key: Hutchinson
 randomizes only the gradient estimator and SLQ's quadrature is
@@ -40,6 +46,12 @@ Array = jax.Array
 #: Dense-factorization HBM ceiling: above this the (N, N) f32 Gram + factor
 #: no longer fit a 16 GB chip and the matrix-free CG engine takes over.
 CG_THRESHOLD = 65536
+
+#: Above this the device-side zoom linesearch (several NLML evaluations in
+#: ONE program) exceeds the tunneled worker's per-program execution budget
+#: (measured: 131,072 is safe at ~30 s worst-case programs; 262,144 crashed
+#: at ~94 s) — the linesearch moves to the host and evals are segmented.
+HOST_LS_THRESHOLD = 196608
 
 
 def _dense_loss(kernel: str, n: int, probes: int):
@@ -81,13 +93,19 @@ def fit_exact(
     noise_floor: float = 1e-4,
     probes: int | None = None,
     cg_iters: int = 24,
+    seg_iters: int = 4,
+    host_linesearch: bool | None = None,
     key: Array | None = None,
     progress: Callable[[int, float], None] | None = None,
 ) -> tuple[dict[str, Array], dict[str, Any]]:
     """Cold-fit an exact GP's hyperparameters from standard init.
 
     Engine ``auto`` picks Hutchinson below N=65,536 and matrix-free CG at or
-    above (override to ``"hutchinson"``/``"cg"`` to force). ``patience``
+    above (override to ``"hutchinson"``/``"cg"`` to force);
+    ``host_linesearch`` (auto: N >= 192k on the CG engine) moves the
+    strong-Wolfe linesearch to the host and dispatches each evaluation as
+    ``seg_iters``-iteration CG segments, the only worker-safe shape at
+    N >= 262,144. ``patience``
     counts L-BFGS ITERATIONS (each costs 1-3 NLML evaluations, so the
     reference's patience=50 — tuned for 1-eval Adam steps,
     gpras/gpr.py:162-173 — would waste many minutes post-plateau; the
@@ -120,8 +138,33 @@ def fit_exact(
         probes = 127 if big else 16
     if key is None:
         key = jax.random.PRNGKey(0)
+    if host_linesearch is None:
+        host_linesearch = big and n >= HOST_LS_THRESHOLD
 
     params0 = exact.init_params(kernel, x, noise_variance=noise_variance)
+    floors = {"log_noise_variance": float(math.log(noise_floor))}
+
+    if host_linesearch:
+        if not big:
+            raise ValueError("host_linesearch requires the cg engine")
+        from gpras_tpu.fit.optimizers import lbfgs_fit_hostls
+        from gpras_tpu.gp.exact_cg import make_cg_step_chunked
+
+        step = make_cg_step_chunked(kernel, probes=probes,
+                                    max_iters=cg_iters, seg_iters=seg_iters)
+
+        def vag(p: dict[str, Array]) -> tuple[float, dict[str, Array]]:
+            loss_v, grads = step(p, x, y, key)
+            return float(loss_v), grads
+
+        params, info = lbfgs_fit_hostls(
+            vag, params0, max_iter=max_iter, memory_size=memory_size,
+            max_linesearch_steps=max_linesearch_steps, tol=tol,
+            patience=patience, stop_loss=stop_loss, floors=floors,
+            progress=progress)
+        info["engine"] = "cg_hostls"
+        return params, info
+
     loss = (_cg_loss(kernel, probes, cg_iters) if big
             else _dense_loss(kernel, n, probes))
 
@@ -132,7 +175,6 @@ def fit_exact(
         loss_fn, params0, max_iter=max_iter, chunk=chunk,
         memory_size=memory_size, max_linesearch_steps=max_linesearch_steps,
         tol=tol, patience=patience, stop_loss=stop_loss,
-        floors={"log_noise_variance": float(math.log(noise_floor))},
-        progress=progress)
+        floors=floors, progress=progress)
     info["engine"] = engine
     return params, info

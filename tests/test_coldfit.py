@@ -57,6 +57,27 @@ def test_fit_exact_band_stop():
     assert int(banded["iterations"]) <= 12
 
 
+def test_fit_exact_host_linesearch_path():
+    """The giant-N shape (host strong-Wolfe linesearch over segmented CG
+    value+grad dispatches) runs end-to-end and descends."""
+    x, y = make_problem(n=256)
+    p, info = coldfit.fit_exact("Matern52", x, y, engine="cg",
+                                host_linesearch=True, max_iter=6,
+                                probes=16, cg_iters=16, seg_iters=4)
+    assert info["engine"] == "cg_hostls"
+    assert info["evals"] >= int(info["iterations"]) + 1
+    losses = np.asarray(info["losses"])
+    finite = losses[np.isfinite(losses)]
+    assert finite.size and finite.min() < finite[0]
+
+
+def test_fit_exact_host_linesearch_needs_cg():
+    x, y = make_problem(n=128)
+    with pytest.raises(ValueError, match="host_linesearch"):
+        coldfit.fit_exact("Matern52", x, y, engine="hutchinson",
+                          host_linesearch=True)
+
+
 def test_fit_exact_rejects_unknown_engine():
     x, y = make_problem(n=128)
     with pytest.raises(ValueError, match="unknown engine"):

@@ -245,6 +245,63 @@ def test_lbfgs_cold_benchmark_smoke(monkeypatch, capsys):
     assert out["l_star"] is None  # no committed reference at this N
 
 
+def _host_vag(loss_fn):
+    vag = jax.jit(jax.value_and_grad(loss_fn))
+
+    def f(p):
+        v, g = vag(p)
+        return float(v), g
+
+    return f
+
+
+def test_lbfgs_hostls_matches_quadratic_optimum():
+    """On an exact quadratic the strong-Wolfe host L-BFGS must land on the
+    minimizer in a handful of iterations."""
+    params, loss_fn, target = quadratic_problem()
+    p, info = opt.lbfgs_fit_hostls(_host_vag(loss_fn), params, max_iter=20)
+    np.testing.assert_allclose(np.asarray(p["a"]), np.asarray(target["a"]),
+                               atol=1e-5)
+    np.testing.assert_allclose(float(p["b"]), float(target["b"]), atol=1e-5)
+    assert float(info["loss"]) < 1e-9
+    assert info["evals"] >= int(info["iterations"]) + 1
+
+
+def test_lbfgs_hostls_matches_device_driver_quality():
+    """Same SGPR problem: the host-linesearch driver reaches the optax
+    zoom-linesearch driver's loss level (not bit-identical — different
+    linesearch implementations — but the same basin and quality)."""
+    params, loss_fn = make_problem()
+    _, dev = opt.lbfgs_fit_chunked(loss_fn, params, max_iter=24, chunk=24)
+    _, host = opt.lbfgs_fit_hostls(_host_vag(loss_fn), params, max_iter=24)
+    dev_best = float(np.nanmin(np.asarray(dev["losses"])))
+    assert float(host["loss"]) <= dev_best + 0.01 * abs(dev_best)
+
+
+def test_lbfgs_hostls_band_and_floors():
+    params, loss_fn = make_problem()
+    _, full = opt.lbfgs_fit_hostls(_host_vag(loss_fn), params, max_iter=24)
+    target = float(np.asarray(full["losses"])[4])
+    p, banded = opt.lbfgs_fit_hostls(_host_vag(loss_fn), params, max_iter=24,
+                                     stop_loss=target)
+    assert banded["stopped_by"] == "stop_loss_band"
+    assert int(banded["iterations"]) <= 8
+
+    floor = {"log_noise_variance": 0.25}
+    p, _ = opt.lbfgs_fit_hostls(_host_vag(loss_fn), params, max_iter=8,
+                                floors=floor)
+    assert float(p["log_noise_variance"]) >= 0.25 - 1e-9
+
+
+def test_lbfgs_hostls_deterministic():
+    params, loss_fn = make_problem()
+    _, a = opt.lbfgs_fit_hostls(_host_vag(loss_fn), params, max_iter=10)
+    _, b = opt.lbfgs_fit_hostls(_host_vag(loss_fn), params, max_iter=10)
+    np.testing.assert_array_equal(np.asarray(a["losses"]),
+                                  np.asarray(b["losses"]))
+    assert a["evals"] == b["evals"]
+
+
 def test_lbfgs_chunked_floors_projection():
     """floors are enforced at every chunk boundary."""
     params, loss_fn = make_problem()
