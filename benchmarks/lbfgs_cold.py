@@ -84,6 +84,9 @@ def main() -> dict:
         probes=int(os.environ["GPRAS_BENCH_CG_PROBES"])
         if big and "GPRAS_BENCH_CG_PROBES" in os.environ else None,
         cg_iters=int(os.environ.get("GPRAS_BENCH_CG_ITERS", "24")),
+        seg_iters=int(os.environ.get("GPRAS_BENCH_CG_SEG", "4")),
+        host_linesearch=bool(int(os.environ["GPRAS_LBFGS_HOSTLS"]))
+        if "GPRAS_LBFGS_HOSTLS" in os.environ else None,
         progress=report)
     total = time.perf_counter() - t0
 

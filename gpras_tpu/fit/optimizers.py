@@ -583,6 +583,13 @@ def lbfgs_fit_hostls(
             cand = [t for t in (lo, hi) if t is not None
                     and np.isfinite(t[1]) and t[1] < f0 and t[0] > 0.0]
             if not cand:
+                if s_mem:
+                    # stale curvature pairs can demand a step the trial
+                    # budget can't bracket; restart from steepest descent
+                    # (standard L-BFGS practice) before giving up
+                    s_mem.clear()
+                    y_mem.clear()
+                    continue
                 stopped = "linesearch_failure"
                 break
             a_b, f_b, _ = min(cand, key=lambda t: t[1])
