@@ -510,10 +510,16 @@ def lbfgs_fit_hostls(
             s_mem.clear()
             y_mem.clear()
 
-        # strong-Wolfe linesearch (bracket + zoom) on phi(a) = f(x + a d)
+        # strong-Wolfe linesearch (bracket + zoom) on phi(a) = f(x + a d).
+        # A non-finite GRADIENT poisons the next direction even when the
+        # value is finite (measured at N=262k in the near-floor-noise
+        # region), so it fails the trial the same way a non-finite value
+        # does.
         def phi(a: float) -> tuple[float, np.ndarray, float]:
             fv, gv = vag(x + a * d)
-            return fv, gv, (gv @ d if np.all(np.isfinite(gv)) else np.nan)
+            if not np.all(np.isfinite(gv)):
+                return np.nan, gv, np.nan
+            return fv, gv, gv @ d
 
         a_prev, f_prev, slope_prev = 0.0, f0, slope0
         g_prev = None

@@ -90,7 +90,7 @@ def fit_exact(
     patience: int = 10,
     stop_loss: float | None = None,
     noise_variance: float = 0.1,
-    noise_floor: float = 1e-4,
+    noise_floor: float | None = None,
     probes: int | None = None,
     cg_iters: int = 24,
     seg_iters: int = 4,
@@ -113,7 +113,18 @@ def fit_exact(
     ``stop_loss`` stops at band entry (loss <= stop_loss + tol*|stop_loss|)
     when a converged target is known. Returns ``(params, info)`` with
     ``info["stopped_by"]`` one of ``stop_loss_band`` / ``plateau_rule`` /
-    ``max_iter`` / ``non_finite_chunk``.
+    ``max_iter`` / ``non_finite_chunk`` / ``linesearch_failure``.
+
+    ``noise_floor`` (a VARIANCE) defaults per engine: 1e-4 for Hutchinson
+    (its logdet comes from an exact factorization) but **1e-3 for CG** —
+    measured at N=131k/262k, the truncated 24-iteration CG+SLQ estimator is
+    BIASED in the near-floor-noise conditioning regime, and a linesearch
+    optimizer is efficient enough to find and exploit that bias: the
+    "loss" descends past the physical bound of the data-generating process
+    (per-point NLML cannot beat the true model's entropy) while the real
+    NLML worsens. Flooring the noise at the level the estimator handles
+    honestly blocks the bias cliff; raise ``cg_iters`` if the application
+    genuinely needs smaller noise.
     """
     n = x.shape[0]
     if engine == "auto":
@@ -140,6 +151,8 @@ def fit_exact(
         key = jax.random.PRNGKey(0)
     if host_linesearch is None:
         host_linesearch = big and n >= HOST_LS_THRESHOLD
+    if noise_floor is None:
+        noise_floor = 1e-3 if big else 1e-4  # see docstring
 
     params0 = exact.init_params(kernel, x, noise_variance=noise_variance)
     floors = {"log_noise_variance": float(math.log(noise_floor))}
@@ -154,7 +167,13 @@ def fit_exact(
                                     max_iters=cg_iters, seg_iters=seg_iters)
 
         def vag(p: dict[str, Array]) -> tuple[float, dict[str, Array]]:
-            loss_v, grads = step(p, x, y, key)
+            # enforce the noise floor INSIDE the objective: linesearch trial
+            # points otherwise drive the noise far below it, where the
+            # ill-conditioned CG/SLQ goes non-finite (measured at N=262k —
+            # the between-iterations projection alone was not enough)
+            from gpras_tpu.fit.optimizers import _apply_floors
+
+            loss_v, grads = step(_apply_floors(p, floors), x, y, key)
             return float(loss_v), grads
 
         params, info = lbfgs_fit_hostls(
