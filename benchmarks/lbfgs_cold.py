@@ -14,19 +14,23 @@ docs/PERFORMANCE.md "Cold fits: L-BFGS"). The trajectory itself is
 deterministic: every run reproduces the same per-iteration losses.
 
 At N >= 65,536 the (N, N) Gram buffer no longer fits HBM, so the loss
-switches to the matrix-free BBMM CG+SLQ engine (gp/exact_cg.py, 127 probes /
-24 iterations — the bench cg-131k unit) and, with no committed L* at that
-scale, the stop is the reference plateau rule applied per L-BFGS iteration
-(rel-tol 1e-5, patience GPRAS_LBFGS_PATIENCE, default 10 — each iteration
-costs 1-3 full NLML evaluations, so 50 would waste ~10 min post-plateau).
-chunk defaults to 1 there: one L-BFGS iteration is already up to
-(1 + LS) * ~6 s of device time in ONE program, and the tunneled worker
-kills programs well short of 166 s (docs/PERFORMANCE.md, N=524,288 entry).
+switches to the matrix-free BBMM CG+SLQ engine run HONESTLY (gp/coldfit.py:
+rank-128 pivoted-Cholesky preconditioning, 256 CG iterations, solver-
+validity residual gate 0.1, host strong-Wolfe linesearch with segmented
+dispatches) and, with no committed L* at that scale, the stop is the
+reference plateau rule applied per L-BFGS iteration (rel-tol 1e-5, patience
+GPRAS_LBFGS_PATIENCE, default 10 — each iteration costs 1-3 full NLML
+evaluations, so 50 would waste many minutes post-plateau). The cheap
+24-iteration estimator (the bench step-timing unit) is NOT used here: a
+linesearch optimizer exploits its truncation bias past the physically
+possible NLML (docs/PERFORMANCE.md "Cold fits").
 
 Run: ``python benchmarks/lbfgs_cold.py [N] [MAX_ITER] [CHUNK]``
 Knobs: GPRAS_LBFGS_LS (max zoom-linesearch steps, default 8; 4 at N>=64k),
 GPRAS_LBFGS_MEM (memory pairs, default 15), GPRAS_LBFGS_PATIENCE
-(plateau patience in iterations, default 10).
+(plateau patience in iterations, default 10), GPRAS_BENCH_CG_ITERS/
+_CG_SEG/_CG_PROBES (honest-estimator shape, default 256/16/127),
+GPRAS_LBFGS_HOSTLS (force the host/device linesearch).
 """
 
 from __future__ import annotations
@@ -66,9 +70,18 @@ def main() -> dict:
         (REPO / "benchmarks" / "convergence_reference.json").read_text())
     l_star = float(ref["l_star"]) if int(ref.get("n", -1)) == n else None
 
+    kwargs = dict(
+        memory_size=mem, max_linesearch_steps=ls,
+        probes=int(os.environ["GPRAS_BENCH_CG_PROBES"])
+        if big and "GPRAS_BENCH_CG_PROBES" in os.environ else None,
+        cg_iters=int(os.environ.get("GPRAS_BENCH_CG_ITERS", "256")),
+        seg_iters=int(os.environ.get("GPRAS_BENCH_CG_SEG", "16")),
+        host_linesearch=bool(int(os.environ["GPRAS_LBFGS_HOSTLS"]))
+        if "GPRAS_LBFGS_HOSTLS" in os.environ else None,
+    )
+
     # warmup on a throwaway copy: compile/load only (one chunk program)
-    _ = fit_exact("Matern52", x, y, max_iter=1, chunk=1, memory_size=mem,
-                  max_linesearch_steps=ls)
+    _ = fit_exact("Matern52", x, y, max_iter=1, chunk=1, **kwargs)
     print(f"# warmup ok (N={n})", file=sys.stderr)
 
     t0 = time.perf_counter()
@@ -79,15 +92,8 @@ def main() -> dict:
               file=sys.stderr, flush=True)
 
     p, info = fit_exact(
-        "Matern52", x, y, max_iter=max_iter, chunk=chunk, memory_size=mem,
-        max_linesearch_steps=ls, stop_loss=l_star, patience=patience,
-        probes=int(os.environ["GPRAS_BENCH_CG_PROBES"])
-        if big and "GPRAS_BENCH_CG_PROBES" in os.environ else None,
-        cg_iters=int(os.environ.get("GPRAS_BENCH_CG_ITERS", "24")),
-        seg_iters=int(os.environ.get("GPRAS_BENCH_CG_SEG", "4")),
-        host_linesearch=bool(int(os.environ["GPRAS_LBFGS_HOSTLS"]))
-        if "GPRAS_LBFGS_HOSTLS" in os.environ else None,
-        progress=report)
+        "Matern52", x, y, max_iter=max_iter, chunk=chunk,
+        stop_loss=l_star, patience=patience, progress=report, **kwargs)
     total = time.perf_counter() - t0
 
     losses = np.asarray(info["losses"])

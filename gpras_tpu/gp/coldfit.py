@@ -12,16 +12,24 @@ for (docs/PERFORMANCE.md "Cold fits: L-BFGS"):
   factorization (the (N, N) Gram fits HBM). Measured at N=49,152: enters
   the committed Adam-L* stopping band at iteration 23, ~134 s — 4.6x cold
   Adam.
-- N >= 64k: matrix-free BBMM CG+SLQ (the Gram matrix never exists).
-  Measured at N=131,072: the reference plateau rule fires at iteration 43,
-  ~782 s — the first cold convergence ever measured at that scale on one
-  chip.
-- N >= 192k: same CG engine, but the linesearch moves to the HOST
-  (fit/optimizers.lbfgs_fit_hostls) and each NLML evaluation dispatches as
-  seg_iters-iteration CG segment programs (exact_cg.make_cg_step_chunked):
-  at N=262,144 a device-side 4-eval linesearch program (~94 s) crashes the
-  tunneled worker (measured — its budget sits between ~73 s and ~94 s), so
-  no program may contain more than one bounded evaluation.
+- N >= 64k: matrix-free BBMM CG+SLQ (the Gram matrix never exists), run
+  HONESTLY: rank-128 pivoted-Cholesky preconditioning, 256 CG iterations,
+  and a solver-validity residual gate. The cheap 24-iteration estimator
+  (the bench step-timing unit) is NOT linesearch-safe — measured at
+  131k/262k, L-BFGS finds hyperparameter regions where the truncated
+  SLQ logdet is biased thousands of nats below the physically possible
+  NLML (per-point NLML cannot beat the true model's entropy, ~-0.884 for
+  the bench DGP; the exploited trajectories reached -1.7 to -4.3/pt) and
+  walks into them until every nearby evaluation goes non-finite. With
+  (256 iters, rank 128) the true-noise region solves to y-residual 1.8% /
+  probe max 5.2% (measured at 131k), inside the 0.1 gate, while the bias
+  regions (residuals 0.8-85) are rejected as trials.
+- The CG engine always uses the HOST linesearch
+  (fit/optimizers.lbfgs_fit_hostls): each evaluation dispatches as
+  seg_iters-iteration CG segment programs (exact_cg.make_cg_step_chunked),
+  because the tunneled worker kills any program between ~73 s and ~94 s of
+  device time (measured at N=262,144: a 4-eval device linesearch program
+  crashed it) and one honest evaluation already approaches that alone.
 
 The loss is made a pure function by fixing the probe key: Hutchinson
 randomizes only the gradient estimator and SLQ's quadrature is
@@ -92,8 +100,10 @@ def fit_exact(
     noise_variance: float = 0.1,
     noise_floor: float | None = None,
     probes: int | None = None,
-    cg_iters: int = 24,
-    seg_iters: int = 4,
+    cg_iters: int = 256,
+    seg_iters: int = 16,
+    precond_rank: int = 128,
+    residual_gate: float | None = 0.1,
     host_linesearch: bool | None = None,
     key: Array | None = None,
     progress: Callable[[int, float], None] | None = None,
@@ -150,7 +160,10 @@ def fit_exact(
     if key is None:
         key = jax.random.PRNGKey(0)
     if host_linesearch is None:
-        host_linesearch = big and n >= HOST_LS_THRESHOLD
+        # an honest CG evaluation (256 preconditioned iterations) already
+        # exceeds the worker's per-program budget inside a multi-eval
+        # device linesearch at any CG-engine size
+        host_linesearch = big
     if noise_floor is None:
         noise_floor = 1e-3 if big else 1e-4  # see docstring
 
@@ -164,7 +177,9 @@ def fit_exact(
         from gpras_tpu.gp.exact_cg import make_cg_step_chunked
 
         step = make_cg_step_chunked(kernel, probes=probes,
-                                    max_iters=cg_iters, seg_iters=seg_iters)
+                                    max_iters=cg_iters, seg_iters=seg_iters,
+                                    precond_rank=precond_rank,
+                                    residual_gate=residual_gate)
 
         def vag(p: dict[str, Array]) -> tuple[float, dict[str, Array]]:
             # enforce the noise floor INSIDE the objective: linesearch trial

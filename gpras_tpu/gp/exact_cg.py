@@ -408,7 +408,8 @@ def make_cg_training_loss(kernel: str, probes: int = 16, max_iters: int = 32,
 
 def make_cg_step_chunked(kernel: str, probes: int = 127, max_iters: int = 24,
                          seg_iters: int = 4, col_panel: int = 4096,
-                         tol: float = 1e-6):
+                         tol: float = 1e-6, precond_rank: int = 0,
+                         residual_gate: float | None = None):
     """Training-loss value + gradient for GIANT N, dispatched as several
     device programs instead of one.
 
@@ -425,53 +426,91 @@ def make_cg_step_chunked(kernel: str, probes: int = 127, max_iters: int = 24,
     monolithic loop (_mbcg_run is the same state machine).
 
     Returns ``step(params, x, y, key) -> (loss, grads)`` (host function;
-    the pieces are jitted and cached across calls). Unpreconditioned
-    (precond_rank=0 semantics — the bench unit)."""
+    the pieces are jitted and cached across calls).
+
+    ``precond_rank`` > 0 mirrors make_cg_nlml's full BBMM preconditioned
+    estimator (pivoted-Cholesky Woodbury PCG, probes drawn from N(0, P),
+    logdet = logdet_P + preconditioned SLQ, trace with v = P^{-1} z) — the
+    rank-k factor rides through the segments as an array and the (k, k)
+    capacitance is re-factorized per program (negligible). Same key
+    semantics as make_cg_nlml, so values/grads are bit-comparable.
+
+    ``residual_gate`` defines the SOLVER-VALIDITY region: if any column's
+    final relative CG residual exceeds the gate, the loss is returned as
+    +inf (the gradient is garbage there anyway). Measured rationale
+    (docs/PERFORMANCE.md "Cold fits"): a linesearch optimizer on the
+    truncated CG+SLQ objective finds hyperparameter regions where the
+    un-converged estimator is biased thousands of nats BELOW the physically
+    possible NLML and walks into them; gating turns those regions into
+    rejected trials instead of fake minima."""
     if max_iters % seg_iters != 0:
         raise ValueError(f"seg_iters {seg_iters} must divide max_iters "
                          f"{max_iters}")
     inv_m = 1.0 / probes
     identity = lambda v: v
 
+    def _pinv(l_pc, noise):
+        if precond_rank > 0:
+            return make_woodbury_pinv(l_pc, noise)
+        return identity, jnp.zeros((), noise.dtype)
+
     @jax.jit
     def setup(params, x, y, key):
+        n = x.shape[0]
         noise = jnp.exp(params["log_noise_variance"]) + \
             linalg.default_jitter(x.dtype) * jnp.exp(params["log_variance"])
-        z = jax.random.rademacher(key, (x.shape[0], probes), dtype=x.dtype)
+        if precond_rank > 0:
+            l_pc = pivoted_cholesky(kernel, params, x, precond_rank)
+            k1, k2 = jax.random.split(key)
+            u1 = jax.random.normal(k1, (precond_rank, probes), x.dtype)
+            u2 = jax.random.normal(k2, (n, probes), x.dtype)
+            z = l_pc @ u1 + jnp.sqrt(noise) * u2  # z ~ N(0, P)
+        else:
+            l_pc = jnp.zeros((n, 0), x.dtype)
+            z = jax.random.rademacher(key, (n, probes), dtype=x.dtype)
+        pinv, _ = _pinv(l_pc, noise)
         b = jnp.concatenate([y[:, None], z], axis=1)
-        carry, rz0, stop2 = _mbcg_init(b, max_iters, tol, identity)
-        return carry, rz0, stop2, z, noise
+        carry, rz0, stop2 = _mbcg_init(b, max_iters, tol, pinv)
+        return carry, rz0, stop2, z, noise, l_pc, jnp.sum(b * b, axis=0)
 
     @jax.jit
     def segment(params, x, carry, extras, i0):
         # i0 traced (fori_loop lowers to while_loop): ONE compiled program
         # serves every segment offset
-        noise, stop2 = extras
+        noise, stop2, l_pc = extras
+        pinv, _ = _pinv(l_pc, noise)
         mv = lambda vv: kmv(kernel, params, x, vv, noise)
-        return _mbcg_run(mv, carry, i0, i0 + seg_iters, stop2, identity)
+        return _mbcg_run(mv, carry, i0, i0 + seg_iters, stop2, pinv)
 
     @jax.jit
-    def finish(params, x, y, carry, rz0, z):
-        sol, _, _, _, alphas, betas, _ = carry
+    def finish(params, x, y, carry, rz0, z, noise, l_pc, b2):
+        sol, _, res, _, alphas, betas, _ = carry
         n = x.shape[0]
         alpha_y = sol[:, 0]
         w = sol[:, 1:]
-        logdet = _slq_logdet_from_coeffs(alphas[:, 1:], betas[:, 1:],
-                                         rz0[1:])
+        pinv, logdet_p = _pinv(l_pc, noise)
+        logdet = logdet_p + _slq_logdet_from_coeffs(alphas[:, 1:],
+                                                    betas[:, 1:], rz0[1:])
         quad = 0.5 * jnp.vdot(y, alpha_y)
         loss = quad + 0.5 * logdet + 0.5 * n * math.log(2.0 * math.pi) \
             - log_prior(params)
-        grads = _cotangent_grads(kernel, params, x, alpha_y, w, z,
+        if residual_gate is not None:
+            rel2 = jnp.sum(res * res, axis=0) / jnp.maximum(b2, 1e-30)
+            loss = jnp.where(
+                jnp.max(rel2) > residual_gate * residual_gate,
+                jnp.asarray(jnp.inf, loss.dtype), loss)
+        v = pinv(z) if precond_rank > 0 else z
+        grads = _cotangent_grads(kernel, params, x, alpha_y, w, v,
                                  jnp.ones((), x.dtype), inv_m, col_panel)
         prior_grads = jax.grad(log_prior)(params)
         grads = jax.tree.map(lambda a, b_: a - b_, grads, prior_grads)
         return loss, grads
 
     def step(params, x, y, key):
-        carry, rz0, stop2, z, noise = setup(params, x, y, key)
+        carry, rz0, stop2, z, noise, l_pc, b2 = setup(params, x, y, key)
         for i0 in range(0, max_iters, seg_iters):
-            carry = segment(params, x, carry, (noise, stop2), i0)
-        return finish(params, x, y, carry, rz0, z)
+            carry = segment(params, x, carry, (noise, stop2, l_pc), i0)
+        return finish(params, x, y, carry, rz0, z, noise, l_pc, b2)
 
     return step
 

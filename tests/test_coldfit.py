@@ -40,7 +40,8 @@ def test_fit_exact_deterministic_trajectory():
 def test_fit_exact_cg_engine_forced():
     x, y = make_problem(n=256)
     p, info = coldfit.fit_exact("Matern52", x, y, engine="cg", max_iter=6,
-                                chunk=2, probes=16, cg_iters=16)
+                                chunk=2, probes=16, cg_iters=16,
+                                host_linesearch=False)
     assert info["engine"] == "cg"
     losses = np.asarray(info["losses"])
     finite = losses[np.isfinite(losses)]

@@ -204,3 +204,57 @@ def test_chunked_step_matches_monolithic():
         np.testing.assert_allclose(np.asarray(g_chunk[k]),
                                    np.asarray(g_mono[k]),
                                    rtol=1e-4, atol=1e-5, err_msg=k)
+
+
+def test_chunked_step_preconditioned_matches_monolithic():
+    """precond_rank > 0 mirrors make_cg_nlml's BBMM preconditioned
+    estimator (same key splits, N(0, P) probes, Woodbury logdet, P^{-1} z
+    trace) through the segmented dispatch."""
+    from gpras_tpu.gp.exact_cg import (make_cg_step_chunked,
+                                       make_cg_training_loss)
+
+    n, d = 256, 3
+    rng = np.random.default_rng(1)
+    x = jnp.asarray(rng.normal(size=(n, d)), jnp.float32)
+    y = jnp.asarray(np.sin(np.asarray(x)[:, 0])
+                    + 0.1 * rng.normal(size=n), jnp.float32)
+    params = exact.init_params("Matern52", x, noise_variance=0.2)
+    key = jax.random.PRNGKey(3)
+
+    loss_fn = make_cg_training_loss("Matern52", probes=8, max_iters=12,
+                                    col_panel=64, precond_rank=16)
+    v_mono, g_mono = jax.value_and_grad(loss_fn)(params, x, y, key)
+    step = make_cg_step_chunked("Matern52", probes=8, max_iters=12,
+                                seg_iters=4, col_panel=64, precond_rank=16)
+    v_chunk, g_chunk = step(params, x, y, key)
+    np.testing.assert_allclose(float(v_chunk), float(v_mono), rtol=1e-5)
+    for k in g_mono:
+        np.testing.assert_allclose(np.asarray(g_chunk[k]),
+                                   np.asarray(g_mono[k]),
+                                   rtol=1e-4, atol=1e-5, err_msg=k)
+
+
+def test_chunked_step_residual_gate():
+    """The solver-validity gate: an unconverged solve (2 iterations) returns
+    +inf; a converged one (generous iterations + loose gate) stays finite."""
+    from gpras_tpu.gp.exact_cg import make_cg_step_chunked
+
+    n, d = 192, 3
+    rng = np.random.default_rng(2)
+    x = jnp.asarray(rng.normal(size=(n, d)), jnp.float32)
+    y = jnp.asarray(np.sin(np.asarray(x)[:, 0])
+                    + 0.1 * rng.normal(size=n), jnp.float32)
+    params = exact.init_params("Matern52", x, noise_variance=0.2)
+    key = jax.random.PRNGKey(5)
+
+    tight = make_cg_step_chunked("Matern52", probes=4, max_iters=2,
+                                 seg_iters=2, col_panel=64,
+                                 residual_gate=1e-6)
+    v, _ = tight(params, x, y, key)
+    assert np.isposinf(float(v))
+
+    loose = make_cg_step_chunked("Matern52", probes=4, max_iters=64,
+                                 seg_iters=8, col_panel=64, precond_rank=16,
+                                 residual_gate=0.5)
+    v, _ = loose(params, x, y, key)
+    assert np.isfinite(float(v))
