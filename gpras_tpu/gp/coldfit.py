@@ -55,11 +55,6 @@ Array = jax.Array
 #: no longer fit a 16 GB chip and the matrix-free CG engine takes over.
 CG_THRESHOLD = 65536
 
-#: Above this the device-side zoom linesearch (several NLML evaluations in
-#: ONE program) exceeds the tunneled worker's per-program execution budget
-#: (measured: 131,072 is safe at ~30 s worst-case programs; 262,144 crashed
-#: at ~94 s) — the linesearch moves to the host and evals are segmented.
-HOST_LS_THRESHOLD = 196608
 
 
 def _dense_loss(kernel: str, n: int, probes: int):
