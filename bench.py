@@ -95,9 +95,11 @@ def _robust_loss(kernel: str, n: int):
     gradient over the in-place super-panel factorization), with the
     env-tunable engine knobs shared by the step builder and the
     forward-only band certification."""
-    from gpras_tpu.gp.exact_stochastic import make_hutchinson_training_loss
+    from gpras_tpu.gp.exact_stochastic import (default_chol_config,
+                                               make_hutchinson_training_loss)
 
-    chol = os.environ.get("GPRAS_BENCH_CHOL", "super" if n >= 32768 else "xla")
+    cfg = default_chol_config(n)  # shared measured policy (single source)
+    chol = os.environ.get("GPRAS_BENCH_CHOL", cfg["chol"])
     # strip temporaries are O(N * strip); at 49k the factor alone is
     # ~9.7 GB of the 16 GB HBM, so narrow the strips there (narrow strips
     # also waste less of the strip's own upper triangle). Round-3 (w, strip)
@@ -107,12 +109,10 @@ def _robust_loss(kernel: str, n: int):
     # and (512,1024)'s unrolled HLO blew the compile budget. Width bracket
     # at strip=2048: 256 -> 11.64 (serial inner-diagonal dominates),
     # 768 -> 8.82, 512 is the optimum.
-    strip = int(os.environ.get("GPRAS_BENCH_STRIP",
-                               16384 if n <= 32768 else 2048))
+    strip = int(os.environ.get("GPRAS_BENCH_STRIP", cfg["chol_strip"]))
     # narrower panels shed panel-solve FLOPs (O(N^2 w / 2)) faster than the
     # serial inner-diagonal cost grows; 512 is the 49k sweet spot.
-    chol_w = int(os.environ.get("GPRAS_BENCH_CHOL_W",
-                                2048 if n < 32768 else 512))
+    chol_w = int(os.environ.get("GPRAS_BENCH_CHOL_W", cfg["chol_w"]))
     return make_hutchinson_training_loss(
         kernel, probes=16, col_panel=4096, chol=chol, chol_strip=strip,
         chol_w=chol_w)
@@ -197,7 +197,8 @@ def bench_exact_fit(n: int, steps: int = 10, d: int = 8) -> float:
                                  "4" if n > 262144 else "0"))
         if seg:
             c_step = make_cg_step_chunked(kernel, probes=probes,
-                                          max_iters=iters, seg_iters=seg)
+                                          max_iters=iters, seg_iters=seg,
+                                          precond_rank=pc_rank)
             upd = jax.jit(lambda g_, s_, p_: opt.update(g_, s_, p_))
             app = jax.jit(optax.apply_updates)
 

@@ -33,6 +33,8 @@ def _set_numerics_policy() -> None:
     re-set ``jax_default_matmul_precision`` after importing gpras_tpu; a
     value already set before import is respected. No-op off-TPU.
     """
+    import logging
+
     import jax
 
     try:
@@ -40,14 +42,14 @@ def _set_numerics_policy() -> None:
             jax.config.update("jax_default_matmul_precision", "high")
             # process-global change: make it discoverable for co-resident
             # JAX code that didn't ask for it
-            import logging
-
             logging.getLogger(__name__).debug(
                 "gpras_tpu set jax_default_matmul_precision='high' "
                 "(TPU default is 1-pass bf16; see docs/PERFORMANCE.md)")
-    except AttributeError:
-        # jax without this config knob (version drift): nothing to set
-        pass
+    except Exception as exc:  # noqa: BLE001
+        # never block `import gpras_tpu` over a numerics preference (a jax
+        # version may lack the knob or reject the value) — but leave a trail
+        logging.getLogger(__name__).debug(
+            "matmul precision policy not applied: %r", exc)
 
 
 _set_numerics_policy()

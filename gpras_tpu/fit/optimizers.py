@@ -335,7 +335,9 @@ def lbfgs_fit_chunked(
     vag = optax.value_and_grad_from_state(masked_loss)
 
     @jax.jit
-    def run_chunk(p: Params, opt_state):
+    def run_chunk(p: Params, opt_state, n_iters):
+        # n_iters traced (the final chunk may be partial so the total never
+        # exceeds max_iter): one compiled program serves every chunk size
         def body(i, carry):
             p, opt_state, losses = carry
             val, grads = vag(p, state=opt_state)
@@ -347,7 +349,7 @@ def lbfgs_fit_chunked(
 
         dtype = p[next(iter(p))].dtype
         losses0 = jnp.full((chunk,), jnp.nan, dtype=dtype)
-        return jax.lax.fori_loop(0, chunk, body, (p, opt_state, losses0))
+        return jax.lax.fori_loop(0, n_iters, body, (p, opt_state, losses0))
 
     p, opt_state = params, opt.init(params)
     all_losses: list[np.ndarray] = []
@@ -356,15 +358,21 @@ def lbfgs_fit_chunked(
     done = 0
     stopped = ""
     while done < max_iter and not stopped:
-        p_new, opt_state_new, losses = run_chunk(p, opt_state)
-        lv = np.asarray(losses)  # host sync once per chunk
-        if not np.isfinite(lv).any():
+        n_this = min(chunk, max_iter - done)
+        p_new, opt_state_new, losses = run_chunk(p, opt_state, n_this)
+        lv = np.asarray(losses)[:n_this]  # host sync once per chunk
+        # A NaN ANYWHERE in the chunk means the iterate itself went NaN
+        # (the loss is a pure deterministic function of the params) and
+        # every later state in the chunk is poisoned — revert to the
+        # pre-chunk iterate. +inf alone (e.g. a residual-gated trial) is
+        # recoverable and only rejected when the whole chunk is non-finite.
+        if np.isnan(lv).any() or not np.isfinite(lv).any():
             stopped = "non_finite_chunk"  # revert: keep pre-chunk state
             break
         p, opt_state = p_new, opt_state_new
         if floors:
             p = _apply_floors(p, floors)
-        done += chunk
+        done += n_this
         all_losses.append(lv)
         if progress is not None:
             fin = lv[np.isfinite(lv)]
@@ -372,7 +380,11 @@ def lbfgs_fit_chunked(
         for v in lv:
             if not np.isfinite(v):
                 count += 1
-            elif (best - v) / max(abs(v), 1e-300) > tol:
+                if count > patience:
+                    stopped = "plateau_rule"
+                    break
+                continue
+            if (best - v) / max(abs(v), 1e-300) > tol:
                 best, count = float(v), 0
             else:
                 count += 1
@@ -521,11 +533,13 @@ def lbfgs_fit_hostls(
                 return np.nan, gv, np.nan
             return fv, gv, gv @ d
 
-        a_prev, f_prev, slope_prev = 0.0, f0, slope0
-        g_prev = None
+        a_prev, f_prev, slope_prev, g_prev = 0.0, f0, slope0, g
         a_cur = 1.0 if s_mem else min(1.0, 1.0 / max(1.0,
                                                      float(np.abs(g).sum())))
-        lo = hi = None  # zoom bracket: (a, f, slope) tuples
+        lo = hi = None  # zoom bracket: (a, f, slope, grad) tuples — the
+        # gradient rides along so the budget-exhausted fallback never
+        # re-evaluates a point phi() already paid for (each eval is a full
+        # factorization / CG solve)
         accepted = None
         ls_evals = 0
         while ls_evals < max_linesearch_steps:
@@ -537,29 +551,28 @@ def lbfgs_fit_hostls(
                 continue
             if f_cur > f0 + c1 * a_cur * slope0 or \
                     (a_prev > 0.0 and f_cur >= f_prev):
-                lo, hi = (a_prev, f_prev, slope_prev), (a_cur, f_cur,
-                                                        slope_cur)
+                lo, hi = (a_prev, f_prev, slope_prev, g_prev), \
+                    (a_cur, f_cur, slope_cur, g_cur)
                 break
             if abs(slope_cur) <= -c2 * slope0:
                 accepted = (a_cur, f_cur, g_cur)
                 break
             if slope_cur >= 0.0:
-                lo, hi = (a_cur, f_cur, slope_cur), (a_prev, f_prev,
-                                                     slope_prev)
+                lo, hi = (a_cur, f_cur, slope_cur, g_cur), \
+                    (a_prev, f_prev, slope_prev, g_prev)
                 break
-            a_prev, f_prev, slope_prev = a_cur, f_cur, slope_cur
-            g_prev = g_cur
+            a_prev, f_prev, slope_prev, g_prev = a_cur, f_cur, slope_cur, \
+                g_cur
             a_cur = 2.0 * a_cur
-        if accepted is None and lo is None and a_prev > 0.0 and \
-                f_prev < f0 and g_prev is not None:
+        if accepted is None and lo is None and a_prev > 0.0 and f_prev < f0:
             # expansion exhausted the budget while every trial satisfied
             # Armijo and kept descending: the last point is a valid step
             accepted = (a_prev, f_prev, g_prev)
         while accepted is None and lo is not None and \
                 ls_evals < max_linesearch_steps:
             # zoom: quadratic interpolation, bisection fallback
-            a_lo, f_lo, s_lo = lo
-            a_hi, f_hi, _ = hi
+            a_lo, f_lo, s_lo, _ = lo
+            a_hi, f_hi, _, _ = hi
             denom = 2.0 * (f_hi - f_lo - s_lo * (a_hi - a_lo))
             a_j = a_lo + (-s_lo * (a_hi - a_lo) ** 2 / denom
                           if abs(denom) > 1e-300 else 0.5 * (a_hi - a_lo))
@@ -573,21 +586,22 @@ def lbfgs_fit_hostls(
             ls_evals += 1
             if not np.isfinite(f_j) or f_j > f0 + c1 * a_j * slope0 or \
                     f_j >= f_lo:
-                hi = (a_j, f_j, slope_j)
+                hi = (a_j, f_j, slope_j, g_j)
             else:
                 if abs(slope_j) <= -c2 * slope0:
                     accepted = (a_j, f_j, g_j)
                     break
                 if slope_j * (a_hi - a_lo) >= 0.0:
                     hi = lo
-                lo = (a_j, f_j, slope_j)
+                lo = (a_j, f_j, slope_j, g_j)
             if width < 1e-12:
                 break
         if accepted is None:
             # no Wolfe point inside the budget: take the best finite
             # decrease seen in the zoom bracket, else stop
             cand = [t for t in (lo, hi) if t is not None
-                    and np.isfinite(t[1]) and t[1] < f0 and t[0] > 0.0]
+                    and np.isfinite(t[1]) and t[1] < f0 and t[0] > 0.0
+                    and np.all(np.isfinite(t[3]))]
             if not cand:
                 if s_mem:
                     # stale curvature pairs can demand a step the trial
@@ -598,10 +612,8 @@ def lbfgs_fit_hostls(
                     continue
                 stopped = "linesearch_failure"
                 break
-            a_b, f_b, _ = min(cand, key=lambda t: t[1])
-            f_new, g_new = vag(x + a_b * d)
-            evals += 1
-            accepted = (a_b, f_new, g_new)
+            a_b, f_b, _, g_b = min(cand, key=lambda t: t[1])
+            accepted = (a_b, f_b, g_b)
 
         a_acc, f_new, g_new = accepted
         x_new = x + a_acc * d

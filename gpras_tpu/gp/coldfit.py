@@ -24,12 +24,15 @@ for (docs/PERFORMANCE.md "Cold fits: L-BFGS"):
   (256 iters, rank 128) the true-noise region solves to y-residual 1.8% /
   probe max 5.2% (measured at 131k), inside the 0.1 gate, while the bias
   regions (residuals 0.8-85) are rejected as trials.
-- The CG engine always uses the HOST linesearch
+- The CG engine defaults to the HOST linesearch
   (fit/optimizers.lbfgs_fit_hostls): each evaluation dispatches as
   seg_iters-iteration CG segment programs (exact_cg.make_cg_step_chunked),
   because the tunneled worker kills any program between ~73 s and ~94 s of
   device time (measured at N=262,144: a 4-eval device linesearch program
   crashed it) and one honest evaluation already approaches that alone.
+  Passing ``host_linesearch=False`` forces the monolithic device path
+  (same preconditioner and residual gate, but one jitted program per
+  linesearch eval — only safe where that program fits the worker budget).
 
 The loss is made a pure function by fixing the probe key: Hutchinson
 randomizes only the gradient estimator and SLQ's quadrature is
@@ -58,25 +61,25 @@ CG_THRESHOLD = 65536
 
 
 def _dense_loss(kernel: str, n: int, probes: int):
-    # engine knobs from the round-3 TPU sweeps (docs/PERFORMANCE.md): the
-    # in-place super-panel factorization above 32k (XLA's cholesky lowering
-    # takes unbounded compile time there and needs separate K+L buffers),
-    # (w=512, strip=2048) panels at 49k+
-    from gpras_tpu.gp.exact_stochastic import make_hutchinson_training_loss
+    # engine knobs: the shared measured policy (round-3 TPU sweeps,
+    # docs/PERFORMANCE.md) — one source of truth with GPRAS._loss_fn and
+    # bench.py
+    from gpras_tpu.gp.exact_stochastic import (default_chol_config,
+                                               make_hutchinson_training_loss)
 
-    if n >= 32768:
-        return make_hutchinson_training_loss(
-            kernel, probes=probes, col_panel=4096, chol="super",
-            chol_strip=2048, chol_w=512)
     return make_hutchinson_training_loss(kernel, probes=probes,
-                                         col_panel=4096)
+                                         col_panel=4096,
+                                         **default_chol_config(n))
 
 
-def _cg_loss(kernel: str, probes: int, cg_iters: int):
+def _cg_loss(kernel: str, probes: int, cg_iters: int, precond_rank: int,
+             residual_gate: float | None):
     from gpras_tpu.gp.exact_cg import make_cg_training_loss
 
     return make_cg_training_loss(kernel, probes=probes, max_iters=cg_iters,
-                                 row_panel=4096, col_panel=4096)
+                                 row_panel=4096, col_panel=4096,
+                                 precond_rank=precond_rank,
+                                 residual_gate=residual_gate)
 
 
 def fit_exact(
@@ -107,10 +110,13 @@ def fit_exact(
 
     Engine ``auto`` picks Hutchinson below N=65,536 and matrix-free CG at or
     above (override to ``"hutchinson"``/``"cg"`` to force);
-    ``host_linesearch`` (auto: N >= 192k on the CG engine) moves the
-    strong-Wolfe linesearch to the host and dispatches each evaluation as
-    ``seg_iters``-iteration CG segments, the only worker-safe shape at
-    N >= 262,144. ``patience``
+    ``host_linesearch`` (auto: on for every CG-engine fit — one honest
+    256-iteration evaluation already approaches the tunneled worker's
+    per-program budget) moves the strong-Wolfe linesearch to the host and
+    dispatches each evaluation as ``seg_iters``-iteration CG segments, the
+    only worker-safe shape at N >= 262,144; ``host_linesearch=False``
+    keeps the same preconditioned, residual-gated objective in one jitted
+    program per evaluation (``seg_iters`` then has no effect). ``patience``
     counts L-BFGS ITERATIONS (each costs 1-3 NLML evaluations, so the
     reference's patience=50 — tuned for 1-eval Adam steps,
     gpras/gpr.py:162-173 — would waste many minutes post-plateau; the
@@ -194,8 +200,8 @@ def fit_exact(
         info["engine"] = "cg_hostls"
         return params, info
 
-    loss = (_cg_loss(kernel, probes, cg_iters) if big
-            else _dense_loss(kernel, n, probes))
+    loss = (_cg_loss(kernel, probes, cg_iters, precond_rank, residual_gate)
+            if big else _dense_loss(kernel, n, probes))
 
     def loss_fn(p: dict[str, Array]) -> Array:
         return loss(p, x, y, key)

@@ -262,7 +262,8 @@ def _slq_logdet_from_coeffs(alphas: Array, betas: Array, b2: Array) -> Array:
 
 def make_cg_nlml(kernel: str, probes: int = 16, max_iters: int = 32,
                  row_panel: int = 4096, col_panel: int = 4096,
-                 precision: str = "high", precond_rank: int = 0):
+                 precision: str = "high", precond_rank: int = 0,
+                 residual_gate: float | None = None):
     """Returns ``nlml(params, x, y, key)``: matrix-free value + gradient.
 
     The value's logdet term and the gradient's trace term are stochastic
@@ -278,6 +279,12 @@ def make_cg_nlml(kernel: str, probes: int = 16, max_iters: int = 32,
     with logdet P analytic via the (k, k) Woodbury capacitance, and the
     gradient trace uses E[z z^T] = P:
         tr(K^{-1} dK) = E[(K^{-1} z)^T dK (P^{-1} z)].
+
+    ``residual_gate`` mirrors ``make_cg_step_chunked``'s solver-validity
+    gate: if any column's final relative CG residual exceeds the gate, the
+    VALUE is +inf (the gradient at such a point is estimator noise anyway) —
+    so a linesearch rejects the trial instead of descending into the
+    truncated-SLQ bias regions (see that function's docstring).
     """
 
     def solves(params, x, y, key):
@@ -298,19 +305,34 @@ def make_cg_nlml(kernel: str, probes: int = 16, max_iters: int = 32,
         b = jnp.concatenate([y[:, None], z], axis=1)
         mv = lambda v: kmv(kernel, params, x, v, total_noise, row_panel,
                            precision)
-        sol, alphas, betas, rz0 = mbcg(mv, b, max_iters=max_iters, pinv=pinv)
+        carry, rz0, stop2 = _mbcg_init(b, max_iters, 1e-6,
+                                       pinv if pinv is not None
+                                       else (lambda v: v))
+        sol, _, res, _, alphas, betas, _ = _mbcg_run(
+            mv, carry, 0, max_iters, stop2,
+            pinv if pinv is not None else (lambda v: v))
         alpha_y = sol[:, 0]
         w = sol[:, 1:]
         logdet = logdet_p + _slq_logdet_from_coeffs(
             alphas[:, 1:], betas[:, 1:], rz0[1:])
         v = pinv(z) if precond_rank > 0 else z
-        return alpha_y, w, v, logdet
+        if residual_gate is not None:
+            b2 = jnp.sum(b * b, axis=0)
+            rel2 = jnp.sum(res * res, axis=0) / jnp.maximum(b2, 1e-30)
+            gated = jnp.max(rel2) > residual_gate * residual_gate
+        else:
+            gated = jnp.zeros((), bool)
+        return alpha_y, w, v, logdet, gated
+
+    def _gate(out, gated):
+        return jnp.where(gated, jnp.asarray(jnp.inf, out.dtype), out)
 
     def value(params, x, y, key):
         n = x.shape[0]
-        alpha_y, _, _, logdet = solves(params, x, y, key)
+        alpha_y, _, _, logdet, gated = solves(params, x, y, key)
         quad = 0.5 * jnp.vdot(y, alpha_y)
-        return quad + 0.5 * logdet + 0.5 * n * math.log(2.0 * math.pi)
+        return _gate(quad + 0.5 * logdet
+                     + 0.5 * n * math.log(2.0 * math.pi), gated)
 
     @jax.custom_vjp
     def nlml(params, x, y, key):
@@ -318,9 +340,10 @@ def make_cg_nlml(kernel: str, probes: int = 16, max_iters: int = 32,
 
     def fwd(params, x, y, key):
         n = x.shape[0]
-        alpha_y, w, v, logdet = solves(params, x, y, key)
+        alpha_y, w, v, logdet, gated = solves(params, x, y, key)
         quad = 0.5 * jnp.vdot(y, alpha_y)
-        out = quad + 0.5 * logdet + 0.5 * n * math.log(2.0 * math.pi)
+        out = _gate(quad + 0.5 * logdet
+                    + 0.5 * n * math.log(2.0 * math.pi), gated)
         return out, (params, x, alpha_y, w, v)
 
     def bwd(res, g):

@@ -172,3 +172,23 @@ def make_hutchinson_training_loss(kernel: str, probes: int = 16,
         return nlml(params, x, y, key) - log_prior(params)
 
     return loss
+
+
+def default_chol_config(n: int) -> dict:
+    """The measured factorization knobs for problem size ``n`` — the SINGLE
+    source of truth shared by GPRAS._loss_fn, gp.coldfit, and bench.py.
+
+    Values from the round-3 TPU sweeps (bench.py sweep log in _robust_loss's
+    docstring / docs/PERFORMANCE.md): the in-place super-panel engine above
+    16k (XLA's cholesky lowering takes unbounded compile time there and
+    needs separate K+L buffers), wide (w=2048, strip=16384) panels up to
+    32k, narrow (w=512, strip=2048) panels above it (at 49k the factor
+    alone is ~9.7 of 16 GB HBM, and narrow panels shed panel-solve FLOPs
+    faster than the serial inner-diagonal cost grows: 8.68 s vs 9.34 s for
+    the 10-step fit).
+    """
+    return {
+        "chol": "super" if n > 16384 else "xla",
+        "chol_strip": 16384 if n <= 32768 else 2048,
+        "chol_w": 2048 if n < 32768 else 512,
+    }

@@ -343,18 +343,12 @@ class GPRAS:
             from gpras_tpu.gp.exact_stochastic import make_hutchinson_training_loss
 
             if getattr(self, "_hutch_loss", None) is None:
-                chol = "super" if n > self.SUPER_THRESHOLD else "xla"
-                # strip temporaries are O(N * strip) on top of the ~N^2 * 4B
-                # factor; at 49k the factor is 9.7 of 16 GB, so narrow the
-                # strips and panels. The boundaries deliberately differ at
-                # exactly 32768: w=1024 + strip=16384 is the measured best
-                # there (bench.py; 4.14 s vs 4.58 s for w=2048); above it the
-                # round-3 sweep picked (w=512, strip=2048) — 8.68 vs 9.34 s
-                # for 10 steps at 49k (bench.py _make_robust_step).
-                strip = 16384 if n <= 32768 else 2048
-                w = 2048 if n < 32768 else 512
+                from gpras_tpu.gp.exact_stochastic import default_chol_config
+
+                # measured factorization knobs, shared with gp.coldfit and
+                # bench.py (see default_chol_config's docstring)
                 self._hutch_loss = make_hutchinson_training_loss(
-                    self.kernel_str, chol=chol, chol_strip=strip, chol_w=w)
+                    self.kernel_str, **default_chol_config(n))
             return self._hutch_loss(params, self.x, y_i, jax.random.PRNGKey(0))
         if engine == "lean":
             from gpras_tpu.gp.exact_lean import make_lean_training_loss

@@ -115,16 +115,20 @@ def _kmv_body(kernel: str, a_ref, b_ref, v_ref, var_ref, noise_ref, out_ref,
 
     sub = min(sub, tile_n)
     contrib = jnp.zeros((tile_m, v.shape[1]), jnp.float32)
-    for c in range(tile_n // sub):
-        b_sub = b_ref[c * sub:(c + 1) * sub, :]
-        k = _tile_value(kernel, a, b_sub, var, 0.0, tile_m, sub, False)
+    # range/min over static shapes: a trailing partial chunk (tile_n not a
+    # multiple of sub) is handled with its own static width — every column
+    # of the tile is contracted exactly once
+    for c0 in range(0, tile_n, sub):
+        cw = min(sub, tile_n - c0)
+        b_sub = b_ref[c0:c0 + cw, :]
+        k = _tile_value(kernel, a, b_sub, var, 0.0, tile_m, cw, False)
         if square:
             rows = i * tile_m + jax.lax.broadcasted_iota(
-                jnp.int32, (tile_m, sub), 0)
-            cols = j * tile_n + c * sub + jax.lax.broadcasted_iota(
-                jnp.int32, (tile_m, sub), 1)
+                jnp.int32, (tile_m, cw), 0)
+            cols = j * tile_n + c0 + jax.lax.broadcasted_iota(
+                jnp.int32, (tile_m, cw), 1)
             k = jnp.where(rows == cols, k + noise, k)
-        v_sub = v[c * sub:(c + 1) * sub, :]
+        v_sub = v[c0:c0 + cw, :]
         k_hi = k.astype(jnp.bfloat16)
         k_lo = (k - k_hi.astype(jnp.float32)).astype(jnp.bfloat16)
         v_hi = v_sub.astype(jnp.bfloat16)

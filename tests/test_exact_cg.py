@@ -258,3 +258,35 @@ def test_chunked_step_residual_gate():
                                  residual_gate=0.5)
     v, _ = loose(params, x, y, key)
     assert np.isfinite(float(v))
+
+
+def test_monolithic_nlml_residual_gate():
+    """make_cg_nlml's residual_gate mirrors the chunked step's solver-
+    validity gate (gp/coldfit.py threads it through the device-linesearch
+    path): an unreachable gate returns +inf, a loose gate the real value."""
+    from gpras_tpu.gp.exact_cg import make_cg_training_loss
+
+    n, d = 256, 3
+    rng = np.random.default_rng(5)
+    x = jnp.asarray(rng.normal(size=(n, d)), jnp.float32)
+    y = jnp.asarray(np.sin(np.asarray(x)[:, 0])
+                    + 0.1 * rng.normal(size=n), jnp.float32)
+    params = exact.init_params("Matern52", x, noise_variance=0.2)
+    key = jax.random.PRNGKey(11)
+
+    ungated = make_cg_training_loss("Matern52", probes=8, max_iters=12,
+                                    col_panel=64)
+    v_ref = float(ungated(params, x, y, key))
+    assert np.isfinite(v_ref)
+    # 2 CG iterations cannot reach a 1e-6 relative residual: gate fires
+    tight = make_cg_training_loss("Matern52", probes=8, max_iters=2,
+                                  col_panel=64, residual_gate=1e-6)
+    assert np.isposinf(float(tight(params, x, y, key)))
+    # a loose gate leaves the value untouched (bit-identical estimator)
+    loose = make_cg_training_loss("Matern52", probes=8, max_iters=12,
+                                  col_panel=64, residual_gate=1e3)
+    np.testing.assert_allclose(float(loose(params, x, y, key)), v_ref,
+                               rtol=1e-6)
+    # the gate rides through jax.grad (custom-VJP forward) unchanged
+    v, _ = jax.value_and_grad(tight)(params, x, y, key)
+    assert np.isposinf(float(v))

@@ -178,3 +178,26 @@ def test_pallas_kgrad_matches_f64_autodiff_contraction():
             scale = max(np.max(np.abs(wl)), 1e-3)
             np.testing.assert_allclose(gl, wl, atol=8e-3 * scale, rtol=5e-3,
                                        err_msg=f"{kernel} n={n} lengthscales")
+
+
+def test_pallas_kmv_tile_not_multiple_of_subchunk():
+    """_kmv_body sub-chunks each covariance tile in 256-column pieces; a
+    tile_n that is NOT a multiple of 256 must still contract every column
+    (the trailing partial chunk gets its own static width)."""
+    import numpy as np
+    import jax.numpy as jnp
+
+    from gpras_tpu.ops import kernels as K
+    from gpras_tpu.ops.pallas_gram import pallas_kmv
+
+    rng = np.random.default_rng(11)
+    params = {"log_variance": jnp.asarray(0.1, jnp.float32),
+              "log_lengthscales": jnp.asarray(np.log(rng.uniform(0.5, 2.0, 2)),
+                                              jnp.float32)}
+    x1 = jnp.asarray(rng.normal(size=(500, 2)), jnp.float32)
+    v1 = jnp.asarray(rng.normal(size=(500, 3)), jnp.float32)
+    kd = np.asarray(K.gram("Matern32", params, x1)) + 0.5 * np.eye(500)
+    got = np.asarray(pallas_kmv("Matern32", params, x1, v1,
+                                noise=jnp.float32(0.5), interpret=True,
+                                tile_m=384, tile_n=384))
+    np.testing.assert_allclose(got, kd @ np.asarray(v1), rtol=2e-4, atol=2e-4)
