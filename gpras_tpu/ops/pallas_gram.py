@@ -145,6 +145,110 @@ def _kmv_body(kernel: str, a_ref, b_ref, v_ref, var_ref, noise_ref, out_ref,
         out_ref[:] = (out_ref[:] + contrib).astype(out_ref.dtype)
 
 
+def _kmv_sym_body(kernel: str, a_ref, b_ref, vj_ref, vi_ref, var_ref,
+                  noise_ref, cacc_in_ref, row_ref, cacc_ref,
+                  tile: int, sub: int = 1024, i_off: int = 0,
+                  nb_desc: int = 0):
+    """Upper-triangle step of the SYMMETRIC fused matvec.
+
+    The Gram matrix is symmetric, and the covariance-tile build (VPU
+    transcendentals) dominates the fused matvec, so each strictly-upper tile
+    K_ij (j > i) is evaluated ONCE and contracted twice:
+
+        row[i]  += K_ij @ v[j]        (the dense kernel's contribution)
+        cacc[j] += K_ij^T @ v[i]      (the mirrored lower-triangle one)
+
+    ``row`` accumulates in VMEM across the inner-j sweep exactly like
+    ``_kmv_body`` (block index (i,) is constant over the row, flushed once).
+    ``cacc``'s block index (j,) changes EVERY grid step, so it accumulates
+    through an HBM read-modify-write: ``cacc_in`` is the same buffer aliased
+    as an input (pallas_call input_output_aliases). Race-safety: block j is
+    touched exactly once per block-row, i.e. successive writes/reads of the
+    same block are a full inner sweep (NB grid steps) apart — far beyond the
+    DMA pipeline's lookahead. Lower-triangle steps (j < i) skip the tile and
+    pass ``cacc`` through unchanged (the per-step flush always needs a
+    defined value).
+
+    NOTE the HBM read-modify-write requires COMPILED pallas:
+    jax's interpret mode keeps aliased input/output carries in separate
+    buffers (hlo_interpreter TODO b/370563936), so ``cacc_in`` reads stale
+    zeros there. ``pallas_kmv`` therefore routes ``interpret=True`` through
+    the sequential per-block-row launcher (``i_off``: one call per block
+    row, grid (1, nb), cacc threaded functionally between calls — same body,
+    same per-tile math, no aliasing) which is also the CPU reference the
+    compiled path is tested against.
+    """
+    from jax.experimental import pallas as pl
+
+    # nb_desc > 0: block rows are processed DESCENDING (physical row
+    # nb-1-pid) and the j-indexed operands (b, v_j, cacc) use clamped block
+    # maps max(i, j) — lower-triangle steps re-touch the row's own block, so
+    # they cost no DMA at all, and a cacc block's successive HBM touches are
+    # always >= nb-2 grid steps apart (every earlier-processed row only
+    # touches blocks >= its own index, which is > this row's).
+    if nb_desc:
+        i = nb_desc - 1 - pl.program_id(0)
+    else:
+        i = pl.program_id(0) + i_off
+    j = pl.program_id(1)
+
+    @pl.when(j < i)
+    def _skip():
+        cacc_ref[:] = cacc_in_ref[:]
+
+    @pl.when(j >= i)
+    def _compute():
+        a = a_ref[:]
+        vj = vj_ref[:]
+        var = var_ref[0, 0]
+        noise = noise_ref[0, 0]
+
+        def bdot(aa, bb, dims):
+            return jax.lax.dot_general(aa, bb, dimension_numbers=dims,
+                                       preferred_element_type=jnp.float32,
+                                       precision=jax.lax.Precision.DEFAULT)
+
+        row_dims = (((1,), (0,)), ((), ()))   # (T, cw) @ (cw, R)
+        col_dims = (((0,), (0,)), ((), ()))   # (T, cw)^T @ (T, R)
+        vi = vi_ref[:]
+        vi_hi = vi.astype(jnp.bfloat16)
+        vi_lo = (vi - vi_hi.astype(jnp.float32)).astype(jnp.bfloat16)
+        # strictly-upper tiles mirror into cacc[j]; the diagonal tile (its
+        # own mirror) contributes to row[i] only — mask by the 0/1 scalar
+        mirror = (j > i).astype(jnp.float32)
+
+        contrib = jnp.zeros((tile, vj.shape[1]), jnp.float32)
+        for c0 in range(0, tile, sub):
+            cw = min(sub, tile - c0)
+            b_sub = b_ref[c0:c0 + cw, :]
+            k = _tile_value(kernel, a, b_sub, var, 0.0, tile, cw, False)
+            # global ids coincide only inside the diagonal tile (i == j)
+            rows = i * tile + jax.lax.broadcasted_iota(
+                jnp.int32, (tile, cw), 0)
+            cols = j * tile + c0 + jax.lax.broadcasted_iota(
+                jnp.int32, (tile, cw), 1)
+            k = jnp.where(rows == cols, k + noise, k)
+            # bf16_3x split of the tile, shared by both contractions
+            k_hi = k.astype(jnp.bfloat16)
+            k_lo = (k - k_hi.astype(jnp.float32)).astype(jnp.bfloat16)
+            v_sub = vj[c0:c0 + cw, :]
+            v_hi = v_sub.astype(jnp.bfloat16)
+            v_lo = (v_sub - v_hi.astype(jnp.float32)).astype(jnp.bfloat16)
+            contrib = contrib + bdot(k_hi, v_hi, row_dims) \
+                + bdot(k_hi, v_lo, row_dims) + bdot(k_lo, v_hi, row_dims)
+            cc = bdot(k_hi, vi_hi, col_dims) + bdot(k_hi, vi_lo, col_dims) \
+                + bdot(k_lo, vi_hi, col_dims)
+            cacc_ref[c0:c0 + cw, :] = cacc_in_ref[c0:c0 + cw, :] + mirror * cc
+
+        @pl.when(j == i)
+        def _init():
+            row_ref[:] = contrib.astype(row_ref.dtype)
+
+        @pl.when(j > i)
+        def _acc():
+            row_ref[:] = (row_ref[:] + contrib).astype(row_ref.dtype)
+
+
 def _pad_rows(x: Array, mult: int) -> Array:
     n = x.shape[0]
     pad = (-n) % mult
@@ -217,7 +321,8 @@ def gram(kernel: str, params: dict[str, Array], x1: Array,
 def pallas_kmv(kernel: str, params: dict[str, Array], x1: Array,
                v: Array, x2: Array | None = None,
                noise: Array | None = None, interpret: bool = False,
-               tile_m: int = 1024, tile_n: int = 1024) -> Array:
+               tile_m: int = 1024, tile_n: int = 1024,
+               sym: bool | None = None) -> Array:
     """Fused (K(x1, x2) + noise I) @ v — the covariance tile never leaves VMEM.
 
     The matrix-free CG engine's matvec (gp/exact_cg.py) is bandwidth-bound
@@ -228,6 +333,13 @@ def pallas_kmv(kernel: str, params: dict[str, Array], x1: Array,
 
     v: (N2, R). Returns (N1, R) f32. ``noise`` is added on the diagonal only
     when x2 is None (square). R is padded to the lane width internally.
+
+    ``sym`` (auto when square with >= 8 tile rows): exploit K's symmetry by
+    evaluating only upper-triangle covariance tiles and contracting each
+    twice (``_kmv_sym_body``) — ~2x less transcendental work, which is the
+    measured roofline of the square matvec. Bit-identical contraction order
+    per tile; the row/mirror partial sums add in a different order than the
+    dense sweep, so results match to f32 rounding, not bitwise.
     """
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
@@ -252,6 +364,77 @@ def pallas_kmv(kernel: str, params: dict[str, Array], x1: Array,
     var = jnp.exp(params["log_variance"]).astype(jnp.float32).reshape(1, 1)
     nz = (jnp.zeros((), jnp.float32) if noise is None
           else jnp.asarray(noise, jnp.float32)).reshape(1, 1)
+
+    if sym is None:
+        sym = square and tile_m == tile_n and (m_p // tile_m) >= 8
+    if sym:
+        if not (square and tile_m == tile_n):
+            raise ValueError("sym=True requires a square Gram and equal tiles")
+        nb = m_p // tile_m
+        rw = v_p.shape[1]
+        if interpret:
+            # interpret mode cannot express the aliased HBM read-modify-write
+            # (see _kmv_sym_body) — run one call per block row, threading the
+            # mirror accumulator functionally. Same body, same per-tile math.
+            cacc = jnp.zeros((m_p, rw), jnp.float32)
+            rows = []
+            for i0 in range(nb):
+                row_i, cacc = pl.pallas_call(
+                    partial(_kmv_sym_body, kernel, tile=tile_m, i_off=i0),
+                    grid=(1, nb),
+                    in_specs=[
+                        pl.BlockSpec((tile_m, a.shape[1]),
+                                     lambda i, j, i0=i0: (i0, 0)),
+                        pl.BlockSpec((tile_m, b.shape[1]), lambda i, j: (j, 0)),
+                        pl.BlockSpec((tile_m, rw), lambda i, j: (j, 0)),
+                        pl.BlockSpec((tile_m, rw), lambda i, j, i0=i0: (i0, 0)),
+                        pl.BlockSpec(memory_space=pltpu.SMEM),
+                        pl.BlockSpec(memory_space=pltpu.SMEM),
+                        pl.BlockSpec((tile_m, rw), lambda i, j: (j, 0)),
+                    ],
+                    out_specs=[
+                        pl.BlockSpec((tile_m, rw), lambda i, j: (0, 0)),
+                        pl.BlockSpec((tile_m, rw), lambda i, j: (j, 0)),
+                    ],
+                    out_shape=[
+                        jax.ShapeDtypeStruct((tile_m, rw), jnp.float32),
+                        jax.ShapeDtypeStruct((m_p, rw), jnp.float32),
+                    ],
+                    interpret=True,
+                )(a, b, v_p, v_p, var, nz, cacc)
+                rows.append(row_i)
+            return (jnp.concatenate(rows, axis=0) + cacc)[:n1, :r]
+        # descending rows + clamped j-maps: see _kmv_sym_body's nb_desc note
+        def _ip(i, j):
+            return nb - 1 - i
+
+        def _jc(i, j):
+            return jnp.maximum(nb - 1 - i, j)
+
+        row, cacc = pl.pallas_call(
+            partial(_kmv_sym_body, kernel, tile=tile_m, nb_desc=nb),
+            grid=(nb, nb),
+            in_specs=[
+                pl.BlockSpec((tile_m, a.shape[1]), lambda i, j: (_ip(i, j), 0)),
+                pl.BlockSpec((tile_m, b.shape[1]), lambda i, j: (_jc(i, j), 0)),
+                pl.BlockSpec((tile_m, rw), lambda i, j: (_jc(i, j), 0)),
+                pl.BlockSpec((tile_m, rw), lambda i, j: (_ip(i, j), 0)),
+                pl.BlockSpec(memory_space=pltpu.SMEM),
+                pl.BlockSpec(memory_space=pltpu.SMEM),
+                pl.BlockSpec((tile_m, rw), lambda i, j: (_jc(i, j), 0)),
+            ],
+            out_specs=[
+                pl.BlockSpec((tile_m, rw), lambda i, j: (_ip(i, j), 0)),
+                pl.BlockSpec((tile_m, rw), lambda i, j: (_jc(i, j), 0)),
+            ],
+            out_shape=[
+                jax.ShapeDtypeStruct((m_p, rw), jnp.float32),
+                jax.ShapeDtypeStruct((m_p, rw), jnp.float32),
+            ],
+            input_output_aliases={6: 1},
+            interpret=interpret,
+        )(a, b, v_p, v_p, var, nz, jnp.zeros((m_p, rw), jnp.float32))
+        return (row + cacc)[:n1, :r]
 
     out = pl.pallas_call(
         partial(_kmv_body, kernel, tile_m=tile_m, tile_n=tile_n, square=square),
@@ -393,10 +576,105 @@ def _kgrad_body(kernel: str, a_ref, b_ref, wi_ref, zj_ref, ai_ref, aj_ref,
         acc_ref[:] = acc_ref[:] + upd
 
 
+def _kgrad_sym_body(kernel: str, a_ref, b_ref, wi_ref, zj_ref, wj_ref,
+                    zi_ref, ai_ref, aj_ref, var_ref, gh_ref, invm_ref,
+                    acc_ref, tile: int, d: int):
+    """Upper-triangle step of the symmetric gradient contraction.
+
+    The distance tile u_ij and the kernel derivatives f/f' (the VPU
+    transcendentals that dominate ``_kgrad_body``) are symmetric, and so is
+    the (a_id - a_jd)^2 structure of the lengthscale term — only the
+    low-rank cotangent Kbar is not. The mirrored tile's cotangent in the
+    SAME (i, j) orientation is
+
+        Kbar_ji^T = gh * ((1/m) Z_i W_j^T - alpha_i alpha_j^T)
+
+    so each strictly-upper tile is processed once with the effective
+    cotangent ``Kbar_ij + Kbar_ji^T`` (diagonal tiles: just Kbar_ii), and
+    every downstream contraction is unchanged. Half the transcendental
+    work, identical MXU totals; lower-triangle steps do nothing (the single
+    (8, 128) accumulator block is live across the whole grid, and the
+    j-indexed operands use clamped block maps so skipped steps cost no
+    DMA).
+    """
+    from jax.experimental import pallas as pl
+
+    i = pl.program_id(0)
+    j = pl.program_id(1)
+
+    @pl.when(j >= i)
+    def _compute():
+        a = a_ref[:]
+        b = b_ref[:]
+        var = var_ref[0, 0]
+        gh = gh_ref[0, 0]
+        inv_m = invm_ref[0, 0]
+
+        ab = jax.lax.dot_general(a, b,
+                                 dimension_numbers=(((1,), (1,)), ((), ())),
+                                 preferred_element_type=jnp.float32,
+                                 precision=jax.lax.Precision.HIGHEST)
+        a2 = jnp.sum(a * a, axis=1, keepdims=True)
+        b2 = jnp.sum(b * b, axis=1, keepdims=True).T
+        r2 = jnp.maximum(a2 + b2 - 2.0 * ab, 0.0)
+        f, fp = _f_fp(kernel, r2)
+
+        wi = wi_ref[:]
+        zj = zj_ref[:]
+        ai = ai_ref[:]
+        aj = aj_ref[:]
+
+        def bdot3(x1, x2t):
+            x1h = x1.astype(jnp.bfloat16)
+            x1l = (x1 - x1h.astype(jnp.float32)).astype(jnp.bfloat16)
+            x2h = x2t.astype(jnp.bfloat16)
+            x2l = (x2t - x2h.astype(jnp.float32)).astype(jnp.bfloat16)
+
+            def dd(p, q):
+                return jax.lax.dot_general(
+                    p, q, dimension_numbers=(((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                    precision=jax.lax.Precision.DEFAULT)
+
+            return dd(x1h, x2h) + dd(x1h, x2l) + dd(x1l, x2h)
+
+        kbar = gh * (inv_m * bdot3(wi, zj) - ai * aj.T)
+        mirror = (j > i).astype(jnp.float32)
+        kbar = kbar + mirror * (gh * (inv_m * bdot3(zi_ref[:], wj_ref[:])
+                                      - ai * aj.T))
+
+        g_var = jnp.sum(kbar * (var * f))
+        m = kbar * (var * fp)
+        row_s = jnp.sum(m, axis=1)
+        col_t = jnp.sum(m, axis=0)
+        mb = jnp.dot(m, b, preferred_element_type=jnp.float32,
+                     precision=jax.lax.Precision.HIGHEST)
+        c_d = jnp.sum(a * mb, axis=0, keepdims=True)
+        s_d = jnp.sum((a * a) * row_s[:, None], axis=0, keepdims=True)
+        t_d = jnp.sum((b * b) * col_t[:, None], axis=0, keepdims=True)
+        g_ls = -2.0 * (s_d + t_d - 2.0 * c_d)
+
+        first = (i == 0) & (j == 0)
+        row0 = jnp.concatenate(
+            [g_ls, jnp.zeros((1, 128 - d), jnp.float32)], axis=1)
+        row1 = jnp.concatenate(
+            [g_var.reshape(1, 1), jnp.zeros((1, 127), jnp.float32)], axis=1)
+        upd = jnp.concatenate(
+            [row0, row1, jnp.zeros((6, 128), jnp.float32)], axis=0)
+
+        @pl.when(first)
+        def _init():
+            acc_ref[:] = upd
+
+        @pl.when(~first)
+        def _acc():
+            acc_ref[:] = acc_ref[:] + upd
+
+
 def pallas_kgrad(kernel: str, params: dict[str, Array], x: Array,
                  w: Array, z: Array, alpha: Array, g: Array,
                  inv_m: float, interpret: bool = False,
-                 tile: int = 512) -> dict[str, Array]:
+                 tile: int = 512, sym: bool | None = None) -> dict[str, Array]:
     """Fused dNLML/dparams contraction for the rank-(m+1) cotangent.
 
     Equivalent to the panel loop
@@ -409,6 +687,12 @@ def pallas_kgrad(kernel: str, params: dict[str, Array], x: Array,
 
     Everything except the Kbar low-rank contraction (bf16_3x, matching the
     framework 'high' policy) runs at full f32.
+
+    ``sym`` (auto when >= 8 tile rows): process only upper-triangle tiles
+    with the folded cotangent Kbar_ij + Kbar_ji^T (``_kgrad_sym_body``) —
+    the transcendental f/f' tile is evaluated once per mirror pair. Unlike
+    the sym matvec this needs no aliasing (single live accumulator block),
+    so it is interpret-safe as-is.
     """
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
@@ -426,6 +710,37 @@ def pallas_kgrad(kernel: str, params: dict[str, Array], x: Array,
     var = jnp.exp(params["log_variance"]).astype(jnp.float32).reshape(1, 1)
     gh = (0.5 * jnp.asarray(g, jnp.float32)).reshape(1, 1)
     invm = jnp.asarray(inv_m, jnp.float32).reshape(1, 1)
+
+    if sym is None:
+        sym = (n_p // tile) >= 8
+    if sym:
+        # skipped lower-triangle steps clamp the j-indexed maps to the
+        # row's own block: no DMA for work that isn't done
+        def _jc(i, j):
+            return jnp.maximum(i, j)
+
+        acc = pl.pallas_call(
+            partial(_kgrad_sym_body, kernel, tile=tile, d=d),
+            grid=(n_p // tile, n_p // tile),
+            in_specs=[
+                pl.BlockSpec((tile, d), lambda i, j: (i, 0)),
+                pl.BlockSpec((tile, d), lambda i, j: (_jc(i, j), 0)),
+                pl.BlockSpec((tile, m_probes), lambda i, j: (i, 0)),
+                pl.BlockSpec((tile, m_probes), lambda i, j: (_jc(i, j), 0)),
+                pl.BlockSpec((tile, m_probes), lambda i, j: (_jc(i, j), 0)),
+                pl.BlockSpec((tile, m_probes), lambda i, j: (i, 0)),
+                pl.BlockSpec((tile, 1), lambda i, j: (i, 0)),
+                pl.BlockSpec((tile, 1), lambda i, j: (_jc(i, j), 0)),
+                pl.BlockSpec(memory_space=pltpu.SMEM),
+                pl.BlockSpec(memory_space=pltpu.SMEM),
+                pl.BlockSpec(memory_space=pltpu.SMEM),
+            ],
+            out_specs=pl.BlockSpec((8, 128), lambda i, j: (0, 0)),
+            out_shape=jax.ShapeDtypeStruct((8, 128), jnp.float32),
+            interpret=interpret,
+        )(a, a, w_p, z_p, w_p, z_p, al_p, al_p, var, gh, invm)
+        return {"log_variance": acc[1, 0],
+                "log_lengthscales": acc[0, :d]}
 
     acc = pl.pallas_call(
         partial(_kgrad_body, kernel, tile=tile, d=d),

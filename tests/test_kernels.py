@@ -201,3 +201,71 @@ def test_pallas_kmv_tile_not_multiple_of_subchunk():
                                 noise=jnp.float32(0.5), interpret=True,
                                 tile_m=384, tile_n=384))
     np.testing.assert_allclose(got, kd @ np.asarray(v1), rtol=2e-4, atol=2e-4)
+
+
+def test_pallas_kmv_symmetric_matches_dense_reference():
+    """The symmetric fused matvec (upper-triangle tiles contracted twice,
+    ops/pallas_gram._kmv_sym_body) must match the dense f64-gold K @ v for
+    every stationary kernel, including a padded remainder tile and r not a
+    lane multiple. Interpret mode exercises the sequential per-block-row
+    launcher — the same body the compiled aliased grid runs (the compiled
+    path is checked against the dense kernel on TPU; see docs)."""
+    import numpy as np
+    import jax.numpy as jnp
+
+    from gpras_tpu.ops import kernels as K
+    from gpras_tpu.ops.pallas_gram import pallas_kmv
+
+    rng = np.random.default_rng(7)
+    d = 5
+    for kernel, n, r in [("RBF", 2048, 3), ("Matern52", 2100, 3),
+                         ("Matern12", 2048, 130), ("Matern32", 2500, 7),
+                         ("Exponential", 2048, 3)]:
+        params = {
+            "log_variance": jnp.asarray(0.2, jnp.float32),
+            "log_lengthscales": jnp.asarray(
+                np.log(rng.uniform(0.5, 2.0, d)), jnp.float32)}
+        x = jnp.asarray(rng.normal(size=(n, d)), jnp.float32)
+        v = jnp.asarray(rng.normal(size=(n, r)), jnp.float32)
+        kd = np.asarray(K.gram(kernel, params, x), np.float64) \
+            + 0.3 * np.eye(n)
+        want = kd @ np.asarray(v, np.float64)
+        got = np.asarray(pallas_kmv(kernel, params, x, v,
+                                    noise=jnp.float32(0.3), interpret=True,
+                                    tile_m=256, tile_n=256, sym=True))
+        scale = np.max(np.abs(want))
+        np.testing.assert_allclose(got, want, atol=2e-5 * scale, rtol=2e-4,
+                                   err_msg=f"{kernel} n={n} r={r}")
+
+
+def test_pallas_kgrad_symmetric_matches_dense_body():
+    """The symmetric gradient contraction (folded cotangent
+    Kbar_ij + Kbar_ji^T, ops/pallas_gram._kgrad_sym_body) must agree with
+    the full-grid body on the same inputs."""
+    import numpy as np
+    import jax.numpy as jnp
+
+    from gpras_tpu.ops.pallas_gram import pallas_kgrad
+
+    rng = np.random.default_rng(3)
+    n, d, m = 1100, 4, 8
+    x = jnp.asarray(rng.normal(size=(n, d)), jnp.float32)
+    w = jnp.asarray(rng.normal(size=(n, m)), jnp.float32)
+    z = jnp.asarray(rng.normal(size=(n, m)), jnp.float32)
+    al = jnp.asarray(rng.normal(size=n), jnp.float32)
+    for kernel in ("RBF", "Matern52", "Matern12"):
+        params = {
+            "log_variance": jnp.asarray(0.1, jnp.float32),
+            "log_lengthscales": jnp.asarray(
+                np.log(rng.uniform(0.5, 2.0, d)), jnp.float32)}
+        kw = dict(interpret=True, tile=128)
+        gd = pallas_kgrad(kernel, params, x, w, z, al, 0.7, 1.0 / m,
+                          sym=False, **kw)
+        gs = pallas_kgrad(kernel, params, x, w, z, al, 0.7, 1.0 / m,
+                          sym=True, **kw)
+        for k in gd:
+            a = np.asarray(gd[k], np.float64)
+            b = np.asarray(gs[k], np.float64)
+            scale = max(np.max(np.abs(a)), 1e-9)
+            np.testing.assert_allclose(b, a, atol=3e-5 * scale, rtol=3e-5,
+                                       err_msg=f"{kernel} {k}")
