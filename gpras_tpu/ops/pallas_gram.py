@@ -404,6 +404,13 @@ def pallas_kmv(kernel: str, params: dict[str, Array], x1: Array,
                 )(a, b, v_p, v_p, var, nz, cacc)
                 rows.append(row_i)
             return (jnp.concatenate(rows, axis=0) + cacc)[:n1, :r]
+        # sub-tile width of the covariance chunk (the scoped-VMEM driver:
+        # the (tile, sub) f32 tile + its bf16 hi/lo splits). sub=1024 is the
+        # measured-fast config up to nb=128 (N=131k: 38.9 s cg stage);
+        # at nb=256 (N=262k) Mosaic's scoped allocation exceeds the 16 MB
+        # stack limit by 976 KB, and sub=512 fits (262k validated, 159.9 s
+        # cg stage; 131k cost of 512 is ~3.5%: 40.3 s).
+        sub = 1024 if nb <= 128 else 512
         # descending rows + clamped j-maps: see _kmv_sym_body's nb_desc note
         def _ip(i, j):
             return nb - 1 - i
@@ -412,7 +419,7 @@ def pallas_kmv(kernel: str, params: dict[str, Array], x1: Array,
             return jnp.maximum(nb - 1 - i, j)
 
         row, cacc = pl.pallas_call(
-            partial(_kmv_sym_body, kernel, tile=tile_m, nb_desc=nb),
+            partial(_kmv_sym_body, kernel, tile=tile_m, sub=sub, nb_desc=nb),
             grid=(nb, nb),
             in_specs=[
                 pl.BlockSpec((tile_m, a.shape[1]), lambda i, j: (_ip(i, j), 0)),
