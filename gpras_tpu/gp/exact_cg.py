@@ -432,7 +432,8 @@ def make_cg_training_loss(kernel: str, probes: int = 16, max_iters: int = 32,
 def make_cg_step_chunked(kernel: str, probes: int = 127, max_iters: int = 24,
                          seg_iters: int = 4, col_panel: int = 4096,
                          tol: float = 1e-6, precond_rank: int = 0,
-                         residual_gate: float | None = None):
+                         residual_gate: float | None = None,
+                         early_exit: bool = True):
     """Training-loss value + gradient for GIANT N, dispatched as several
     device programs instead of one.
 
@@ -465,7 +466,21 @@ def make_cg_step_chunked(kernel: str, probes: int = 127, max_iters: int = 24,
     truncated CG+SLQ objective finds hyperparameter regions where the
     un-converged estimator is biased thousands of nats BELOW the physically
     possible NLML and walks into them; gating turns those regions into
-    rejected trials instead of fake minima."""
+    rejected trials instead of fake minima.
+
+    ``early_exit`` (default on): the host boundary between segments checks
+    the mbcg ``done`` mask and stops dispatching once EVERY column has
+    converged to ``tol`` (or frozen on breakdown). Skipping the remaining
+    segments is BIT-IDENTICAL to running them: a fully-frozen carry is a
+    fixed point of the mbcg body on every output ``finish`` reads (alpha
+    and beta forced to 0, x/res/coefficients unchanged — only the unused
+    search direction keeps evolving). The per-segment scalar fetch syncs
+    the dispatch stream (~one relay RTT, ~1% of a 16-iteration segment's
+    device time at N >= 131k); the payoff is that well-conditioned
+    evaluations (early linesearch trials at cold-init noise) stop at the
+    tolerance instead of burning the full ``max_iters`` budget sized for
+    the hardest region. The number of segments actually dispatched on the
+    last call is exposed as ``step.last_segments``."""
     if max_iters % seg_iters != 0:
         raise ValueError(f"seg_iters {seg_iters} must divide max_iters "
                          f"{max_iters}")
@@ -529,12 +544,20 @@ def make_cg_step_chunked(kernel: str, probes: int = 127, max_iters: int = 24,
         grads = jax.tree.map(lambda a, b_: a - b_, grads, prior_grads)
         return loss, grads
 
+    n_segs = max_iters // seg_iters
+
     def step(params, x, y, key):
         carry, rz0, stop2, z, noise, l_pc, b2 = setup(params, x, y, key)
-        for i0 in range(0, max_iters, seg_iters):
+        ran = 0
+        for k, i0 in enumerate(range(0, max_iters, seg_iters)):
             carry = segment(params, x, carry, (noise, stop2, l_pc), i0)
+            ran = k + 1
+            if early_exit and ran < n_segs and bool(jnp.all(carry[6])):
+                break
+        step.last_segments = ran
         return finish(params, x, y, carry, rz0, z, noise, l_pc, b2)
 
+    step.last_segments = 0
     return step
 
 

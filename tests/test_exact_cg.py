@@ -290,3 +290,33 @@ def test_monolithic_nlml_residual_gate():
     # the gate rides through jax.grad (custom-VJP forward) unchanged
     v, _ = jax.value_and_grad(tight)(params, x, y, key)
     assert np.isposinf(float(v))
+
+
+def test_chunked_step_early_exit_bit_identical():
+    """Host early exit stops dispatching segments once every mbcg column is
+    frozen at ``tol``. A fully-frozen carry is a fixed point of the mbcg
+    body on everything finish() reads (alpha/beta forced to 0, x/res and
+    the Lanczos coefficients unchanged), so (loss, grads) must match the
+    full-budget dispatch BITWISE while running strictly fewer segments."""
+    from gpras_tpu.gp.exact_cg import make_cg_step_chunked
+
+    n, d = 256, 3
+    rng = np.random.default_rng(4)
+    x = jnp.asarray(rng.normal(size=(n, d)), jnp.float32)
+    y = jnp.asarray(np.sin(np.asarray(x)[:, 0])
+                    + 0.1 * rng.normal(size=n), jnp.float32)
+    params = exact.init_params("Matern52", x, noise_variance=0.5)
+    key = jax.random.PRNGKey(9)
+
+    kw = dict(probes=8, max_iters=64, seg_iters=4, col_panel=64,
+              precond_rank=16, tol=0.02)
+    full = make_cg_step_chunked("Matern52", early_exit=False, **kw)
+    fast = make_cg_step_chunked("Matern52", early_exit=True, **kw)
+    v_full, g_full = full(params, x, y, key)
+    v_fast, g_fast = fast(params, x, y, key)
+    assert full.last_segments == 16
+    assert fast.last_segments < full.last_segments
+    assert float(v_fast) == float(v_full)
+    for k in g_full:
+        np.testing.assert_array_equal(np.asarray(g_fast[k]),
+                                      np.asarray(g_full[k]), err_msg=k)
