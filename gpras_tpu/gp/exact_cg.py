@@ -260,6 +260,99 @@ def _slq_logdet_from_coeffs(alphas: Array, betas: Array, b2: Array) -> Array:
     return jnp.mean(vals)
 
 
+def slq_logdet_rr(kernel: str, params: dict[str, Array], x: Array,
+                  key: Array, probes: int = 16, base_iters: int = 16,
+                  seg_iters: int = 8, n_tail: int = 8, q: float = 0.6,
+                  precond_rank: int = 0) -> Array:
+    """Russian-roulette SLQ: randomized-truncation logdet of (K + noise I).
+
+    The truncated CG+SLQ logdet at a fixed shallow depth is BIASED — the
+    measured failure mode of the giant-N cold fits (docs/PERFORMANCE.md
+    "Cold fits": a linesearch optimizer steers into hyperparameter regions
+    where the depth-k quadrature undershoots the physically possible NLML
+    by thousands of nats). This estimator removes the truncation bias the
+    randomized-truncation way (Kahn's russian roulette; Lyne et al. 2015
+    for pseudo-marginal MCMC): telescope the quadrature over checkpoint
+    depths k_j = base + j*seg,
+
+        Q_K = Q_0 + sum_{j=1..n_tail} (Q_j - Q_{j-1}),
+
+    sample a truncation J = min(G, n_tail) with geometric survival
+    P(J >= j) = q**j, run mbcg only to depth k_J, and reweight the
+    surviving increments by 1/q**j. E[estimate] is EXACTLY the deep-budget
+    quadrature Q_{n_tail} (the telescoped sum is finite, so unbiasedness
+    needs no tail-convergence assumption), while the expected depth is
+    base + seg * q/(1-q) iterations — e.g. q=0.6, seg=8: base + 12,
+    against a deep budget of base + 64 at n_tail=8.
+
+    Caveats, stated plainly: (a) the target is the DEPTH-K_max quadrature —
+    set ``base_iters + n_tail*seg_iters`` where the quadrature is measured
+    converged (and no deeper: past ~32-48 unpreconditioned f32 Lanczos
+    steps, ghost Ritz values corrupt T — raise ``precond_rank`` instead,
+    module docstring); (b) the variance of the reweighted increments grows
+    as (decay_rate/q)^j — pick q at or above the observed increment decay;
+    (c) given a FIXED key the estimate is a deterministic function of
+    params whose pointwise value still deviates from the truth, so a
+    linesearch can in principle exploit a fixed-key RR objective the same
+    way it exploits fixed truncation — the production cold-fit protocol
+    therefore keeps the residual-gated deep budget (gp/coldfit.py), and
+    this estimator serves value estimation / fresh-key-per-step SGD, where
+    unbiasedness is the property that matters.
+
+    Probes are Rademacher (``precond_rank=0``) or N(0, P) with the
+    preconditioned quadrature + analytic Woodbury ``logdet P`` correction
+    (Gardner et al. 2018 sec. 4), exactly as in ``make_cg_nlml``. Returns
+    a scalar; the host samples J from ``key`` (deterministic), so distinct
+    J values compile distinct mbcg depths (at most ``n_tail + 1`` shapes).
+    """
+    k_depth, k_probe = jax.random.split(key)
+    # J = min(G, n_tail) with P(G >= j) = q**j, from one uniform
+    u = float(jax.random.uniform(k_depth, ()))
+    g = int(math.floor(math.log(max(u, 1e-30)) / math.log(q)))
+    j_trunc = min(g, n_tail)
+    return _rr_inner(kernel, params, x, k_probe, probes, base_iters,
+                     seg_iters, j_trunc, q, precond_rank)
+
+
+@partial(jax.jit, static_argnames=("kernel", "probes", "base_iters",
+                                   "seg_iters", "j_trunc", "q",
+                                   "precond_rank"))
+def _rr_inner(kernel: str, params, x: Array, k_probe: Array, probes: int,
+              base_iters: int, seg_iters: int, j_trunc: int, q: float,
+              precond_rank: int) -> Array:
+    """slq_logdet_rr's jitted body — one compiled program per sampled
+    truncation depth (at most n_tail + 1), cached across calls."""
+    n = x.shape[0]
+    noise = jnp.exp(params["log_noise_variance"]) + \
+        linalg.default_jitter(x.dtype) * jnp.exp(params["log_variance"])
+    depth = base_iters + j_trunc * seg_iters
+
+    if precond_rank > 0:
+        l_pc = pivoted_cholesky(kernel, params, x, precond_rank)
+        pinv, logdet_p = make_woodbury_pinv(l_pc, noise)
+        k1, k2 = jax.random.split(k_probe)
+        u1 = jax.random.normal(k1, (precond_rank, probes), x.dtype)
+        u2 = jax.random.normal(k2, (n, probes), x.dtype)
+        z = l_pc @ u1 + jnp.sqrt(noise) * u2
+    else:
+        pinv, logdet_p = None, jnp.zeros((), x.dtype)
+        z = jax.random.rademacher(k_probe, (n, probes), dtype=x.dtype)
+
+    mv = lambda v: kmv(kernel, params, x, v, noise)
+    _, alphas, betas, rz0 = mbcg(mv, z, max_iters=depth, tol=1e-12,
+                                 pinv=pinv)
+
+    def q_at(k_nodes: int) -> Array:
+        m = (jnp.arange(depth) < k_nodes).astype(alphas.dtype)[:, None]
+        return _slq_logdet_from_coeffs(alphas * m, betas * m, rz0)
+
+    qs = [q_at(base_iters + j * seg_iters) for j in range(j_trunc + 1)]
+    est = qs[0]
+    for j in range(1, j_trunc + 1):
+        est = est + (qs[j] - qs[j - 1]) / (q ** j)
+    return est + logdet_p
+
+
 def make_cg_nlml(kernel: str, probes: int = 16, max_iters: int = 32,
                  row_panel: int = 4096, col_panel: int = 4096,
                  precision: str = "high", precond_rank: int = 0,

@@ -320,3 +320,86 @@ def test_chunked_step_early_exit_bit_identical():
     for k in g_full:
         np.testing.assert_array_equal(np.asarray(g_fast[k]),
                                       np.asarray(g_full[k]), err_msg=k)
+
+
+def test_slq_logdet_rr_unbiased_for_deep_quadrature():
+    """Russian-roulette SLQ (randomized truncation over Lanczos depth):
+    E[estimate] is EXACTLY the deep-budget quadrature, at a shallow
+    expected depth. Paired against the deep fixed run with the SAME probe
+    key (probe noise cancels), the RR mean must sit at zero within Monte
+    Carlo error, while a fixed run at the RR's expected depth (base +
+    seg*q/(1-q) = 14 iterations here) carries a truncation bias two
+    orders of magnitude beyond its own standard error. Everything is
+    seeded, so this test is deterministic."""
+    from functools import partial
+
+    from gpras_tpu.gp.exact_cg import (_slq_logdet_from_coeffs, kmv, mbcg,
+                                       slq_logdet_rr)
+    from gpras_tpu.ops import linalg
+
+    n, d = 128, 2
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.normal(size=(n, d)))  # f64 on the CPU conftest
+    params = exact.init_params("Matern52", x, noise_variance=1e-3)
+    noise = jnp.exp(params["log_noise_variance"]) + \
+        linalg.default_jitter(x.dtype) * jnp.exp(params["log_variance"])
+    base, seg, n_tail, q = 8, 4, 10, 0.6
+
+    @partial(jax.jit, static_argnames=("depth",))
+    def fixed(key, depth):
+        _, kp = jax.random.split(key)  # slq_logdet_rr's probe-key split
+        z = jax.random.rademacher(kp, (n, 8), dtype=x.dtype)
+        mv = lambda v: kmv("Matern52", params, x, v, noise)
+        _, a, b, rz0 = mbcg(mv, z, max_iters=depth, tol=1e-12)
+        return _slq_logdet_from_coeffs(a, b, rz0)
+
+    m = 64
+    rr = np.array([float(slq_logdet_rr(
+        "Matern52", params, x, jax.random.PRNGKey(i), probes=8,
+        base_iters=base, seg_iters=seg, n_tail=n_tail, q=q))
+        for i in range(m)])
+    deep = np.array([float(fixed(jax.random.PRNGKey(i), 48))
+                     for i in range(m)])
+    shallow = np.array([float(fixed(jax.random.PRNGKey(i), 14))
+                        for i in range(m)])
+
+    d_rr = rr - deep
+    se_rr = d_rr.std(ddof=1) / np.sqrt(m)
+    assert abs(d_rr.mean()) < 3.0 * se_rr  # unbiased for the deep target
+    d_sh = shallow - deep
+    se_sh = d_sh.std(ddof=1) / np.sqrt(m)
+    assert d_sh.mean() > 30.0  # fixed truncation at E[RR depth]: biased
+    assert d_sh.mean() > 50.0 * se_sh
+    # deterministic given the key (fixed-key linesearch caveat in the doc)
+    again = float(slq_logdet_rr("Matern52", params, x, jax.random.PRNGKey(5),
+                                probes=8, base_iters=base, seg_iters=seg,
+                                n_tail=n_tail, q=q))
+    assert again == rr[5]
+
+
+def test_slq_logdet_rr_preconditioned():
+    """The preconditioned RR path (N(0, P) probes + Woodbury logdet_P)
+    matches the f64 dense logdet closely at full n_tail support — the
+    preconditioner shrinks the spectrum so the deep quadrature itself is
+    near-exact at modest depth."""
+    from gpras_tpu.gp.exact_cg import slq_logdet_rr
+    from gpras_tpu.ops import kernels as KK
+    from gpras_tpu.ops import linalg
+
+    n, d = 128, 2
+    rng = np.random.default_rng(3)
+    x = jnp.asarray(rng.normal(size=(n, d)))
+    params = exact.init_params("Matern52", x, noise_variance=1e-3)
+    noise = jnp.exp(params["log_noise_variance"]) + \
+        linalg.default_jitter(x.dtype) * jnp.exp(params["log_variance"])
+    kmat = KK.gram("Matern52", params, x, x) + \
+        noise * jnp.eye(n, dtype=x.dtype)
+    gold = float(jnp.linalg.slogdet(kmat)[1])
+
+    m = 24
+    ests = np.array([float(slq_logdet_rr(
+        "Matern52", params, x, jax.random.PRNGKey(100 + i), probes=16,
+        base_iters=16, seg_iters=8, n_tail=4, q=0.7, precond_rank=64))
+        for i in range(m)])
+    se = ests.std(ddof=1) / np.sqrt(m)
+    assert abs(ests.mean() - gold) < max(4.0 * se, 0.02 * abs(gold))
