@@ -2,7 +2,8 @@
 
 The honest cold-fit protocol (gp/coldfit.py) pays 256 preconditioned CG
 iterations per NLML evaluation at rank-128 pivoted-Cholesky preconditioning —
-measured 1,944 s for the 131k cold fit. The round-3 iters/rank frontier
+measured 1,944 s for the 131k cold fit (431 s once the chunked-CG early
+exit let converged evaluations stop at tolerance). The round-3 iters/rank frontier
 (docs/PERFORMANCE.md, cg-131k entry) showed rank <= 128 cannot substitute for
 Lanczos steps AT FIXED TINY ITERATION COUNTS (12-32); whether a HIGH-rank
 preconditioner (256-1024) collapses the iteration count needed for honest
