@@ -526,7 +526,8 @@ def make_cg_step_chunked(kernel: str, probes: int = 127, max_iters: int = 24,
                          seg_iters: int = 4, col_panel: int = 4096,
                          tol: float = 1e-6, precond_rank: int = 0,
                          residual_gate: float | None = None,
-                         early_exit: bool = True):
+                         early_exit: bool = True,
+                         gate_abort: bool = True):
     """Training-loss value + gradient for GIANT N, dispatched as several
     device programs instead of one.
 
@@ -573,7 +574,25 @@ def make_cg_step_chunked(kernel: str, probes: int = 127, max_iters: int = 24,
     evaluations (early linesearch trials at cold-init noise) stop at the
     tolerance instead of burning the full ``max_iters`` budget sized for
     the hardest region. The number of segments actually dispatched on the
-    last call is exposed as ``step.last_segments``."""
+    last call is exposed as ``step.last_segments``.
+
+    ``gate_abort`` (default on; active only with a ``residual_gate``):
+    stop dispatching segments once the gate outcome is already decided —
+    when even an OPTIMISTIC projection of the residual decay cannot reach
+    the gate in the remaining budget. The projection takes the BEST
+    per-segment improvement ratio observed so far in this solve, assumes
+    it holds for every remaining segment, and aborts only if the
+    projected final residual still exceeds 4x the gate. CG decay
+    accelerates as Ritz values converge, so the early best ratio is an
+    optimistic bound on typical later decay; on the measured 131k
+    trajectories (benchmarks/precond_sweep.py, including the rank-1024
+    run whose residual falls 0.90 -> 0.08 over the back half) the rule
+    never aborts a solve that ends inside the gate, while
+    bias-region linesearch trials (residuals 0.8-85, near-stalled decay)
+    abort within a few segments instead of paying the full budget.
+    After an abort, ``finish`` runs on the current carry and its gate
+    fires on the (still above-gate) residuals, so the returned loss is
+    the same +inf the full budget would have produced."""
     if max_iters % seg_iters != 0:
         raise ValueError(f"seg_iters {seg_iters} must divide max_iters "
                          f"{max_iters}")
@@ -639,14 +658,52 @@ def make_cg_step_chunked(kernel: str, probes: int = 127, max_iters: int = 24,
 
     n_segs = max_iters // seg_iters
 
+    @jax.jit
+    def probe_state(carry, b2):
+        # one fetch per segment serves both host decisions: (all frozen,
+        # max relative residual)
+        res = carry[2]
+        rel2 = jnp.sum(res * res, axis=0) / jnp.maximum(b2, 1e-30)
+        return jnp.all(carry[6]), jnp.sqrt(jnp.max(rel2))
+
     def step(params, x, y, key):
         carry, rz0, stop2, z, noise, l_pc, b2 = setup(params, x, y, key)
         ran = 0
+        rel_hist: list[float] = []
+        check = early_exit or (gate_abort and residual_gate is not None)
+        # the host decision lags one segment behind the dispatch stream:
+        # segment k+1 is already enqueued when segment k's probe is
+        # fetched, so the device never idles on the ~40 ms fetch RTT (the
+        # pre-early-exit back-to-back pipelining is preserved); stopping
+        # one segment late is bit-identical for the early exit (frozen
+        # fixed point) and immaterial for the abort (+inf either way)
+        prev_probe = None
+        prev_ran = 0
         for k, i0 in enumerate(range(0, max_iters, seg_iters)):
             carry = segment(params, x, carry, (noise, stop2, l_pc), i0)
             ran = k + 1
-            if early_exit and ran < n_segs and bool(jnp.all(carry[6])):
+            if not check or ran >= n_segs:
+                continue
+            cur = probe_state(carry, b2)
+            stop = False
+            if prev_probe is not None:
+                all_done, rel = jax.device_get(prev_probe)
+                if early_exit and bool(all_done):
+                    stop = True
+                elif gate_abort and residual_gate is not None:
+                    rel_hist.append(float(rel))
+                    if prev_ran >= 4:
+                        ratios = [rel_hist[i + 1] / rel_hist[i]
+                                  for i in range(len(rel_hist) - 1)
+                                  if rel_hist[i] > 0]
+                        r_best = min(1.0, min(ratios)) if ratios else 1.0
+                        projected = float(rel) * r_best ** (n_segs - prev_ran)
+                        if projected > 4.0 * residual_gate:
+                            # finish()'s gate fires on these residuals
+                            stop = True
+            if stop:
                 break
+            prev_probe, prev_ran = cur, ran
         step.last_segments = ran
         return finish(params, x, y, carry, rz0, z, noise, l_pc, b2)
 

@@ -403,3 +403,33 @@ def test_slq_logdet_rr_preconditioned():
         for i in range(m)])
     se = ests.std(ddof=1) / np.sqrt(m)
     assert abs(ests.mean() - gold) < max(4.0 * se, 0.02 * abs(gold))
+
+
+def test_chunked_step_gate_abort_saves_segments():
+    """gate_abort: once even the most optimistic projection of the observed
+    residual decay cannot reach the residual gate, the step stops
+    dispatching segments; finish()'s gate fires on the current (above-gate)
+    residuals, so the returned loss is the same +inf the full budget
+    produces — only cheaper."""
+    from gpras_tpu.gp.exact_cg import make_cg_step_chunked
+
+    n, d = 256, 3
+    rng = np.random.default_rng(6)
+    x = jnp.asarray(rng.normal(size=(n, d)), jnp.float32)
+    y = jnp.asarray(np.sin(np.asarray(x)[:, 0])
+                    + 0.1 * rng.normal(size=n), jnp.float32)
+    params = exact.init_params("Matern52", x, noise_variance=1e-6)
+    key = jax.random.PRNGKey(13)
+
+    kw = dict(probes=8, max_iters=64, seg_iters=4, col_panel=64,
+              tol=1e-15, residual_gate=1e-12)
+    full = make_cg_step_chunked("Matern52", gate_abort=False,
+                                early_exit=False, **kw)
+    fast = make_cg_step_chunked("Matern52", gate_abort=True,
+                                early_exit=False, **kw)
+    v_full, _ = full(params, x, y, key)
+    v_fast, _ = fast(params, x, y, key)
+    assert np.isposinf(float(v_full))
+    assert np.isposinf(float(v_fast))
+    assert full.last_segments == 16
+    assert fast.last_segments < 16
