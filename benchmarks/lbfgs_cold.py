@@ -30,7 +30,10 @@ Knobs: GPRAS_LBFGS_LS (max zoom-linesearch steps, default 8; 4 at N>=64k),
 GPRAS_LBFGS_MEM (memory pairs, default 15), GPRAS_LBFGS_PATIENCE
 (plateau patience in iterations, default 10), GPRAS_BENCH_CG_ITERS/
 _CG_SEG/_CG_PROBES (honest-estimator shape, default 256/16/127),
-GPRAS_LBFGS_HOSTLS (force the host/device linesearch).
+GPRAS_LBFGS_HOSTLS (force the host/device linesearch),
+GPRAS_LBFGS_STOP_DEC (noise-plateau stop in nats: end the fit after an
+accepted step earning less than this, skipping the terminal failing
+linesearch's gate-rejected trials — host-linesearch CG path only).
 """
 
 from __future__ import annotations
@@ -78,6 +81,8 @@ def main() -> dict:
         seg_iters=int(os.environ.get("GPRAS_BENCH_CG_SEG", "16")),
         host_linesearch=bool(int(os.environ["GPRAS_LBFGS_HOSTLS"]))
         if "GPRAS_LBFGS_HOSTLS" in os.environ else None,
+        stop_decrease=float(os.environ["GPRAS_LBFGS_STOP_DEC"])
+        if "GPRAS_LBFGS_STOP_DEC" in os.environ else None,
     )
 
     # warmup on a throwaway copy: compile/load only (one chunk program)
@@ -86,10 +91,14 @@ def main() -> dict:
 
     t0 = time.perf_counter()
 
+    prev_best = [float("inf")]
+
     def report(done: int, best: float) -> None:
         dt = time.perf_counter() - t0
-        print(f"# iter {done:3d}  t={dt:7.1f}s  best={best:.2f}",
-              file=sys.stderr, flush=True)
+        earned = prev_best[0] - best  # inf on the first improving iteration
+        prev_best[0] = min(prev_best[0], best)
+        print(f"# iter {done:3d}  t={dt:7.1f}s  best={best:.2f}  "
+              f"earned={earned:.2f}", file=sys.stderr, flush=True)
 
     p, info = fit_exact(
         "Matern52", x, y, max_iter=max_iter, chunk=chunk,

@@ -441,6 +441,7 @@ def lbfgs_fit_hostls(
     stop_loss: float | None = None,
     tol: float = 1e-5,
     patience: int = 10,
+    min_decrease: float | None = None,
     progress: Callable[[int, float], None] | None = None,
 ) -> tuple[Params, dict[str, Any]]:
     """L-BFGS with the ENTIRE optimizer on the host: two-loop recursion and
@@ -472,6 +473,23 @@ def lbfgs_fit_hostls(
     no-descent linesearch ends the fit on the last good iterate. The Wolfe
     parameters are the classics (c1=1e-4, c2=0.9, Nocedal & Wright alg.
     3.5-3.6, quadratic-bisection zoom).
+
+    ``min_decrease`` (absolute loss units) is the noise-plateau stop: after
+    an ACCEPTED step whose decrease is below it, stop immediately
+    (``stopped_by="noise_plateau"``) instead of proposing another
+    linesearch. Rationale (measured, docs/PERFORMANCE.md "honest cold fit at
+    N=131,072"): on a stochastic-estimator objective (Hutchinson / SLQ with
+    a fixed probe key) the optimizer's terminus is the point where no step
+    earns more than estimator noise — but DISCOVERING that via a failing
+    linesearch costs max_linesearch_steps gate-rejected trials, each paying
+    the chunked-CG gate-abort's 4-segment minimum history (~120 s of the
+    131k fit). Once a step earns less than the noise scale, the next
+    linesearch is statistically guaranteed to be that failing one, so
+    stopping here removes those trials without changing the iterate
+    trajectory up to the stop. Set it to the measured estimator noise
+    (e.g. SLQ probe-to-probe spread, ~5-50 nats at 131k depending on
+    region); ``None`` (default) disables the rule and reproduces the
+    failing-linesearch terminus exactly.
     """
     order = sorted(params.keys())
     template = {k: params[k] for k in order}
@@ -616,6 +634,7 @@ def lbfgs_fit_hostls(
             accepted = (a_b, f_b, g_b)
 
         a_acc, f_new, g_new = accepted
+        earned = f0 - f_new  # accepted-step decrease (>= 0 by construction)
         x_new = x + a_acc * d
         if floors:
             p_proj = _apply_floors(_unflatten(x_new, template, order),
@@ -646,6 +665,9 @@ def lbfgs_fit_hostls(
         if stop_loss is not None and \
                 f_new <= stop_loss + tol * abs(stop_loss):
             stopped = "stop_loss_band"
+            break
+        if min_decrease is not None and earned < min_decrease:
+            stopped = "noise_plateau"
             break
         if count > patience:
             stopped = "plateau_rule"

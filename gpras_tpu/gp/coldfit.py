@@ -95,6 +95,7 @@ def fit_exact(
     tol: float = 1e-5,
     patience: int = 10,
     stop_loss: float | None = None,
+    stop_decrease: float | None = None,
     noise_variance: float = 0.1,
     noise_floor: float | None = None,
     probes: int | None = None,
@@ -125,7 +126,16 @@ def fit_exact(
     ``stop_loss`` stops at band entry (loss <= stop_loss + tol*|stop_loss|)
     when a converged target is known. Returns ``(params, info)`` with
     ``info["stopped_by"]`` one of ``stop_loss_band`` / ``plateau_rule`` /
-    ``max_iter`` / ``non_finite_chunk`` / ``linesearch_failure``.
+    ``noise_plateau`` / ``max_iter`` / ``non_finite_chunk`` /
+    ``linesearch_failure``.
+
+    ``stop_decrease`` (host-linesearch CG path only): the noise-plateau
+    stop — end the fit after an accepted step earning less than this many
+    nats instead of paying the terminal failing linesearch, whose
+    gate-rejected trials each cost the chunked-CG projection's 4-segment
+    minimum history (~120 s of the measured 391 s honest 131k fit). Set it
+    to the estimator's noise scale at the terminus (SLQ probe noise; ~5-50
+    nats at 131k). ``None`` keeps the failing-linesearch terminus.
 
     ``cg_stop_tol`` (host-linesearch CG path): per-column relative-residual
     tolerance at which mbcg freezes a column, and — through the chunked
@@ -183,6 +193,10 @@ def fit_exact(
     params0 = exact.init_params(kernel, x, noise_variance=noise_variance)
     floors = {"log_noise_variance": float(math.log(noise_floor))}
 
+    if stop_decrease is not None and not host_linesearch:
+        raise ValueError("stop_decrease requires the host-linesearch CG "
+                         "path (the chunked driver has no per-step "
+                         "decrease hook)")
     if host_linesearch:
         if not big:
             raise ValueError("host_linesearch requires the cg engine")
@@ -208,7 +222,8 @@ def fit_exact(
         params, info = lbfgs_fit_hostls(
             vag, params0, max_iter=max_iter, memory_size=memory_size,
             max_linesearch_steps=max_linesearch_steps, tol=tol,
-            patience=patience, stop_loss=stop_loss, floors=floors,
+            patience=patience, stop_loss=stop_loss,
+            min_decrease=stop_decrease, floors=floors,
             progress=progress)
         info["engine"] = "cg_hostls"
         return params, info

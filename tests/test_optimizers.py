@@ -293,6 +293,36 @@ def test_lbfgs_hostls_band_and_floors():
     assert float(p["log_noise_variance"]) >= 0.25 - 1e-9
 
 
+def test_lbfgs_hostls_noise_plateau_stop():
+    """min_decrease ends the fit right after the first accepted step that
+    earns less than the threshold — the iterate trajectory up to the stop is
+    identical to the unstopped run (the rule only truncates)."""
+    params, loss_fn = make_problem()
+    _, full = opt.lbfgs_fit_hostls(_host_vag(loss_fn), params, max_iter=24)
+    losses = np.asarray(full["losses"])
+    fin = losses[np.isfinite(losses)]
+    earns = np.concatenate([[np.inf], fin[:-1] - fin[1:]])
+    thresh = float(earns[len(earns) // 2]) + 1e-12  # mid-run earn as noise
+    expect = int(np.argmax(earns < thresh)) + 1  # first sub-noise iteration
+
+    _, stopped = opt.lbfgs_fit_hostls(_host_vag(loss_fn), params,
+                                      max_iter=24, min_decrease=thresh)
+    assert stopped["stopped_by"] == "noise_plateau"
+    assert int(stopped["iterations"]) == expect
+    np.testing.assert_array_equal(np.asarray(stopped["losses"])[:expect],
+                                  losses[:expect])
+
+
+def test_coldfit_stop_decrease_requires_hostls():
+    from gpras_tpu.gp.coldfit import fit_exact
+
+    key = jax.random.PRNGKey(3)
+    x = jax.random.normal(key, (64, 2), jnp.float32)
+    y = jax.random.normal(jax.random.PRNGKey(4), (64,), jnp.float32)
+    with pytest.raises(ValueError, match="host-linesearch"):
+        fit_exact("Matern52", x, y, engine="hutchinson", stop_decrease=1.0)
+
+
 def test_lbfgs_hostls_deterministic():
     params, loss_fn = make_problem()
     _, a = opt.lbfgs_fit_hostls(_host_vag(loss_fn), params, max_iter=10)
