@@ -7,9 +7,9 @@ convergence band in 23 iterations / ~134 s vs 600 steps / 614 s
 (docs/PERFORMANCE.md "Cold fits: L-BFGS"). The engine is picked by size —
 Hutchinson stochastic-trace while the (N, N) Gram fits HBM, matrix-free
 BBMM CG+SLQ above N=64k run HONESTLY (preconditioned 256-iteration budget
-with bit-identical early exit, solver-validity gate, projection gate-abort;
-measured at N=131,072: 391 s / 14 iterations to the physical NLML bound on
-one 16 GB chip).
+with bit-identical early exit, solver-validity gate, projection gate-abort,
+and the ``stop_decrease`` noise-plateau stop; measured at N=131,072:
+314.6 s / 14 iterations to the physical NLML bound on one 16 GB chip).
 
 This example runs the same call at a toy size so it finishes in seconds
 anywhere, then predicts with the fitted hyperparameters.
