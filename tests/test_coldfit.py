@@ -72,6 +72,30 @@ def test_fit_exact_host_linesearch_path():
     assert finite.size and finite.min() < finite[0]
 
 
+def test_fit_exact_stop_decrease_truncates_identically():
+    """The noise-plateau stop (stop_decrease) ends the CG host-linesearch
+    fit earlier with a trajectory identical to the unstopped run — the
+    measured-protocol property (docs/PERFORMANCE.md, 131k: 451.7 -> 314.6 s
+    at the same terminus)."""
+    x, y = make_problem(n=256)
+    kw = dict(engine="cg", host_linesearch=True, max_iter=10, probes=16,
+              cg_iters=16, seg_iters=4)
+    _, full = coldfit.fit_exact("Matern52", x, y, **kw)
+    losses = np.asarray(full["losses"])
+    fin = losses[np.isfinite(losses)]
+    earns = fin[:-1] - fin[1:]
+    assert earns.size >= 2
+    thresh = float(earns[earns.size // 2]) + 1e-9
+    expect = int(np.argmax(np.concatenate([[np.inf], earns]) < thresh)) + 1
+
+    _, stopped = coldfit.fit_exact("Matern52", x, y, stop_decrease=thresh,
+                                   **kw)
+    assert stopped["stopped_by"] == "noise_plateau"
+    assert int(stopped["iterations"]) == expect
+    np.testing.assert_array_equal(np.asarray(stopped["losses"])[:expect],
+                                  losses[:expect])
+
+
 def test_fit_exact_host_linesearch_needs_cg():
     x, y = make_problem(n=128)
     with pytest.raises(ValueError, match="host_linesearch"):
