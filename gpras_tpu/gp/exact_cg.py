@@ -43,11 +43,14 @@ iteration count.
 
 from __future__ import annotations
 
+import logging
 import math
 from functools import partial
 
 import jax
 import jax.numpy as jnp
+
+_log = logging.getLogger(__name__)
 
 from gpras_tpu.gp.priors import log_prior
 from gpras_tpu.ops import kernels as K
@@ -265,6 +268,12 @@ def slq_logdet_rr(kernel: str, params: dict[str, Array], x: Array,
                   seg_iters: int = 8, n_tail: int = 8, q: float = 0.6,
                   precond_rank: int = 0) -> Array:
     """Russian-roulette SLQ: randomized-truncation logdet of (K + noise I).
+
+    NOT jit-safe (unlike everything else in this module): the truncation
+    depth J is sampled on the HOST from ``key`` via float(), so this
+    function cannot appear under jit/vmap; each distinct sampled depth
+    compiles its own ``_rr_inner`` program (at most ``n_tail + 1``,
+    cached across calls).
 
     The truncated CG+SLQ logdet at a fixed shallow depth is BIASED — the
     measured failure mode of the giant-N cold fits (docs/PERFORMANCE.md
@@ -522,6 +531,36 @@ def make_cg_training_loss(kernel: str, probes: int = 16, max_iters: int = 32,
     return loss
 
 
+def gate_abort_decision(rel_hist: list[float], rel: float, segs_ran: int,
+                        n_segs: int, gate: float) -> bool:
+    """The chunked-CG gate-abort rule, as a pure host-side predicate.
+
+    Abort (return True) only when BOTH hold:
+    - the decay is NEAR-STALLED: the best per-segment improvement ratio ever
+      observed in this solve is >= 0.9 (the measured bias-region linesearch
+      trials — residuals 0.8-85 — never beat that; any solve that once
+      decayed faster may be mid Ritz-value convergence and can accelerate
+      again, so it is never aborted);
+    - even projecting that best ratio over every remaining segment leaves
+      the final residual above 4x the gate.
+
+    Healthy solves are protected twice over: CG decay ACCELERATES late
+    (superlinear as Ritz values converge — the measured rank-1024 131k run
+    falls 0.90 -> 0.08 over the back half), so a solve with any sub-0.9
+    segment is left to run; and a solve frozen by convergence/breakdown is
+    caught by the cheaper ``early_exit`` path, not this rule.
+    """
+    if segs_ran < 4:
+        return False  # the projection needs history to mean anything
+    ratios = [rel_hist[i + 1] / rel_hist[i]
+              for i in range(len(rel_hist) - 1) if rel_hist[i] > 0]
+    r_best = min(1.0, min(ratios)) if ratios else 1.0
+    if r_best < 0.9:
+        return False  # decay not stalled: late acceleration is plausible
+    projected = rel * r_best ** (n_segs - segs_ran)
+    return projected > 4.0 * gate
+
+
 def make_cg_step_chunked(kernel: str, probes: int = 127, max_iters: int = 24,
                          seg_iters: int = 4, col_panel: int = 4096,
                          tol: float = 1e-6, precond_rank: int = 0,
@@ -574,25 +613,32 @@ def make_cg_step_chunked(kernel: str, probes: int = 127, max_iters: int = 24,
     evaluations (early linesearch trials at cold-init noise) stop at the
     tolerance instead of burning the full ``max_iters`` budget sized for
     the hardest region. The number of segments actually dispatched on the
-    last call is exposed as ``step.last_segments``.
+    last call is exposed as ``step.last_segments`` — a single-threaded
+    DEBUG aid only: it is a mutable attribute on the shared closure,
+    overwritten per call, so under concurrent use of one ``step`` across
+    threads the value observed may belong to a different call.
 
     ``gate_abort`` (default on; active only with a ``residual_gate``):
     stop dispatching segments once the gate outcome is already decided —
-    when even an OPTIMISTIC projection of the residual decay cannot reach
-    the gate in the remaining budget. The projection takes the BEST
-    per-segment improvement ratio observed so far in this solve, assumes
-    it holds for every remaining segment, and aborts only if the
-    projected final residual still exceeds 4x the gate. CG decay
-    accelerates as Ritz values converge, so the early best ratio is an
-    optimistic bound on typical later decay; on the measured 131k
-    trajectories (benchmarks/precond_sweep.py, including the rank-1024
-    run whose residual falls 0.90 -> 0.08 over the back half) the rule
-    never aborts a solve that ends inside the gate, while
-    bias-region linesearch trials (residuals 0.8-85, near-stalled decay)
-    abort within a few segments instead of paying the full budget.
-    After an abort, ``finish`` runs on the current carry and its gate
-    fires on the (still above-gate) residuals, so the returned loss is
-    the same +inf the full budget would have produced."""
+    when the residual decay is NEAR-STALLED (best observed per-segment
+    improvement ratio >= 0.9, matching the measured bias-region
+    linesearch trials: residuals 0.8-85 with ratios near 1) AND even
+    projecting that best ratio over every remaining segment leaves the
+    final residual above 4x the gate. The stall precondition is what
+    makes the projection sound: CG decay ACCELERATES as Ritz values
+    converge (the measured rank-1024 131k run drops 0.90 -> 0.08 over
+    the back half, benchmarks/precond_sweep.py), so an early best ratio
+    alone would OVER-estimate the final residual of a healthy solve and
+    could abort a trial the full budget would have brought inside the
+    gate; a solve whose decay never beats 0.9 per segment has no
+    converged-Ritz acceleration under way to mispredict. The decision is
+    the pure predicate ``gate_abort_decision`` (unit-tested on synthetic
+    histories), and each abort is logged (module logger, INFO) with the
+    residual, gate, and recent history so any misprediction is visible in
+    production logs. After an abort,
+    ``finish`` runs on the current carry and its gate fires on the
+    (still above-gate) residuals, so the returned loss is the same +inf
+    the full budget would have produced."""
     if max_iters % seg_iters != 0:
         raise ValueError(f"seg_iters {seg_iters} must divide max_iters "
                          f"{max_iters}")
@@ -692,15 +738,15 @@ def make_cg_step_chunked(kernel: str, probes: int = 127, max_iters: int = 24,
                     stop = True
                 elif gate_abort and residual_gate is not None:
                     rel_hist.append(float(rel))
-                    if prev_ran >= 4:
-                        ratios = [rel_hist[i + 1] / rel_hist[i]
-                                  for i in range(len(rel_hist) - 1)
-                                  if rel_hist[i] > 0]
-                        r_best = min(1.0, min(ratios)) if ratios else 1.0
-                        projected = float(rel) * r_best ** (n_segs - prev_ran)
-                        if projected > 4.0 * residual_gate:
-                            # finish()'s gate fires on these residuals
-                            stop = True
+                    if gate_abort_decision(rel_hist, float(rel), prev_ran,
+                                           n_segs, residual_gate):
+                        _log.info(
+                            "cg gate_abort at segment %d/%d: rel=%.3g "
+                            "gate=%.3g history=%s", prev_ran, n_segs,
+                            float(rel), residual_gate,
+                            ["%.3g" % r for r in rel_hist[-4:]])
+                        # finish()'s gate fires on these residuals
+                        stop = True
             if stop:
                 break
             prev_probe, prev_ran = cur, ran

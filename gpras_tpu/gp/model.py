@@ -139,12 +139,26 @@ class GPRAS:
         optimization_method: OptimizerType = "two-stage",
         initial_params: dict[str, Array] | None = None,
         warm_start_subsample: int = 0,
+        mesh: Any = None,
         **opt_kwargs: Any,
     ) -> None:
         """Fit one latent GP per output column of ``y``, all modes vmapped.
 
         Mirrors the reference's signature and defaults (gpras/gpr.py:237-275);
         ``n_inducing`` is ignored for the exact backend.
+
+        ``mesh`` routes the exact backend's fit through the DISTRIBUTED
+        engine ladder (parallel/pexact dense/hutchinson, parallel/pcg above
+        the dense per-mesh ceiling) — the one-call multi-chip fit extending
+        the reference's single-call contract (gpras/gpr.py:237). Accepts a
+        ``jax.sharding.Mesh`` (axes "i" or ("i", "j"); 2-D meshes run the
+        P(i, j) engine via ``pexact.resolve_layout``) or ``"auto"`` to build
+        the largest 2-D mesh over every visible device. Checkpoint format is
+        unchanged: hyperparameters come back replicated and ``to_file`` /
+        ``from_file`` / ``predict`` work exactly as for a single-chip fit.
+        Distributed knobs (all optional, via ``**opt_kwargs``):
+        ``dist_block`` (Cholesky block size), ``probes`` (stochastic-trace /
+        SLQ probes), ``cg_iters``, ``precond_rank``.
 
         ``initial_params`` warm-starts the optimization from a batched
         per-mode parameter pytree — e.g. ``model.params`` of a previous fit
@@ -164,6 +178,12 @@ class GPRAS:
         if self.model_type in ("sgpr", "svgp") and n_inducing <= 0:
             raise ValueError("sparse backends require n_inducing > 0 "
                              "(use model_type='exact' for a dense GP)")
+        if mesh is not None and self.model_type != "exact":
+            raise ValueError(
+                "mesh-distributed fitting supports model_type='exact' (the "
+                "distributed engine ladder); for data-parallel SVGP use "
+                "parallel/psvgp.py, for sharded hyperparameter search "
+                "parallel/pfit.py")
         if optimization_method not in fitters.FITTERS:
             raise ValueError(
                 f"Unknown optimizer {optimization_method!r}; expected one of "
@@ -212,6 +232,11 @@ class GPRAS:
             batched0 = jax.tree.map(
                 lambda leaf: jnp.broadcast_to(leaf, (p_modes,) + leaf.shape),
                 params0)
+
+        if mesh is not None:
+            self._fit_distributed(mesh, batched0, optimization_method,
+                                  opt_kwargs)
+            return
 
         if self.model_type == "svgp":
             # Minibatch engine: the whole per-mode fit is ONE jitted scan
@@ -301,6 +326,144 @@ class GPRAS:
     #: above this N even one (N, N) buffer does not fit 16 GB HBM; the loss
     #: goes matrix-free (gp/exact_cg.py, batched CG + SLQ)
     CG_THRESHOLD = 55000
+
+    @staticmethod
+    def _resolve_mesh(mesh: Any):
+        """A Mesh passes through; ``"auto"`` builds the largest 2-D mesh
+        (axes "i", "j", di >= dj) over every visible device — 2-D because
+        the P(i, j) Cholesky engine is the measured-faster default
+        (parallel/pexact.resolve_layout)."""
+        import math
+
+        from jax.sharding import Mesh
+
+        from gpras_tpu.parallel.mesh import make_mesh
+
+        if isinstance(mesh, Mesh):
+            return mesh
+        if mesh == "auto":
+            n_dev = len(jax.devices())
+            dj = int(math.floor(math.sqrt(n_dev)))
+            while dj > 1 and n_dev % dj:
+                dj -= 1
+            if dj > 1:
+                return make_mesh((n_dev // dj, dj), ("i", "j"))
+            return make_mesh((n_dev,), ("i",))
+        raise TypeError(f"mesh must be a jax.sharding.Mesh or 'auto', "
+                        f"got {mesh!r}")
+
+    @staticmethod
+    def _dist_block(n: int, mesh: Any) -> int:
+        """Largest Cholesky block <= 128 dividing every per-axis local
+        extent (the pcholesky/pcholesky2d divisibility contract)."""
+        b = 128
+        for size in mesh.shape.values():
+            local = n // size
+            while b > 8 and local % b:
+                b //= 2
+        return b
+
+    def _fit_distributed(self, mesh: Any, batched0: dict[str, Array],
+                         optimization_method: str,
+                         opt_kwargs: dict[str, Any]) -> None:
+        """One-call distributed exact-GP fit over an ICI mesh.
+
+        Engine ladder (per-mesh scaling of the single-chip one): dense
+        exact-backward below SUPER_THRESHOLD, Hutchinson stochastic-trace
+        backward above it, matrix-free distributed CG once even the
+        mesh-sharded (N, N) Gram exceeds the aggregate dense ceiling
+        (CG_THRESHOLD * sqrt(n_devices): per-device tile memory is
+        N^2/n_devices). Modes run sequentially (lax.map) — each mode's
+        factorization already spans every device. The SAA fixed probe key
+        makes stochastic losses deterministic, so the whole optimizer zoo
+        (incl. linesearch-based L-BFGS) applies unchanged.
+        """
+        import math
+
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        from gpras_tpu.gp.priors import log_prior
+
+        mesh = self._resolve_mesh(mesh)
+        n = self.x.shape[0]
+        n_dev = int(mesh.devices.size)
+        for ax, size in mesh.shape.items():
+            if n % size:
+                raise ValueError(
+                    f"N={n} must divide by mesh axis {ax!r}={size}")
+        engine = self.exact_engine
+        if engine == "auto":
+            if n > int(self.CG_THRESHOLD * math.sqrt(n_dev)):
+                engine = "cg"
+            elif n > self.SUPER_THRESHOLD:
+                engine = "hutchinson"
+            else:
+                engine = "dense"
+        elif engine == "lean":
+            engine = "dense"  # the panel-scan backward is single-chip-only
+        key = jax.random.PRNGKey(0)  # SAA: fixed probes, pure objective
+        x_dev = jax.device_put(self.x, NamedSharding(mesh, P("i")))
+        if engine == "cg":
+            from gpras_tpu.parallel.pcg import make_dist_cg_nlml
+
+            if len(mesh.shape) > 1:
+                # the matrix-free engine shards rows over ONE axis; flatten
+                # a 2-D mesh so all devices hold rows instead of replicating
+                # the whole solve over "j"
+                from jax.sharding import Mesh as _Mesh
+
+                mesh = _Mesh(mesh.devices.reshape(-1), ("i",))
+                if n % n_dev:
+                    raise ValueError(f"N={n} must divide by the flattened "
+                                     f"mesh size {n_dev} for the cg engine")
+                x_dev = jax.device_put(self.x,
+                                       NamedSharding(mesh, P("i")))
+            _, dloss = make_dist_cg_nlml(
+                mesh, self.kernel_str,
+                probes=int(opt_kwargs.pop("probes", 16)),
+                max_iters=int(opt_kwargs.pop("cg_iters", 32)),
+                precond_rank=int(opt_kwargs.pop("precond_rank", 64)))
+            opt_kwargs.pop("dist_block", None)
+            loss = lambda p, y_i: dloss(p, x_dev, y_i, key)
+        else:
+            b = int(opt_kwargs.pop("dist_block", 0)) or \
+                self._dist_block(n, mesh)
+            if engine == "hutchinson":
+                from gpras_tpu.parallel.pexact import make_dist_nlml_stochastic
+
+                dnlml = make_dist_nlml_stochastic(
+                    mesh, self.kernel_str, b=b,
+                    probes=int(opt_kwargs.pop("probes", 16)))
+                loss = lambda p, y_i: dnlml(p, x_dev, y_i, key) - log_prior(p)
+            elif engine == "dense":
+                from gpras_tpu.parallel.pexact import make_dist_nlml
+
+                dnlml = make_dist_nlml(mesh, self.kernel_str, b=b)
+                loss = lambda p, y_i: dnlml(p, x_dev, y_i) - log_prior(p)
+            else:
+                raise ValueError(f"unknown distributed engine {engine!r}; "
+                                 "expected auto|dense|hutchinson|cg")
+        if jnp.dtype(self.dtype) == jnp.float32 \
+                and optimization_method in ("adam", "two-stage"):
+            import math as _m
+
+            opt_kwargs.setdefault("lower_bounds",
+                                  {"log_noise_variance": _m.log(1e-4)})
+            opt_kwargs.setdefault("reject_nonfinite", True)
+        fitter = fitters.FITTERS[optimization_method]
+
+        def fit_one(params_i: dict[str, Array], y_i: Array):
+            return fitter(lambda p: loss(p, y_i), params_i, **opt_kwargs)
+
+        fitted, info = jax.lax.map(
+            lambda args: fit_one(args[0], args[1]),
+            (batched0, jnp.moveaxis(self.y, 1, 0)))
+        self.params = jax.tree.map(
+            lambda leaf: jax.device_get(leaf), fitted)
+        self.params = jax.tree.map(jnp.asarray, self.params)
+        self.fit_info = dict(info)
+        self.fit_info["dist_engine"] = engine
+        self.fit_info["dist_mesh_shape"] = tuple(mesh.shape.values())
 
     def _loss_fn(self, params: dict[str, Array], y_i: Array) -> Array:
         if self.model_type == "sgpr":

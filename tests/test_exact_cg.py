@@ -405,12 +405,38 @@ def test_slq_logdet_rr_preconditioned():
     assert abs(ests.mean() - gold) < max(4.0 * se, 0.02 * abs(gold))
 
 
-def test_chunked_step_gate_abort_saves_segments():
-    """gate_abort: once even the most optimistic projection of the observed
-    residual decay cannot reach the residual gate, the step stops
-    dispatching segments; finish()'s gate fires on the current (above-gate)
-    residuals, so the returned loss is the same +inf the full budget
-    produces — only cheaper."""
+def test_gate_abort_decision_rule():
+    """The pure gate-abort predicate (exact_cg.gate_abort_decision): aborts
+    only near-stalled decay that cannot reach the gate, and never a solve
+    whose decay ever beat 0.9/segment — CG accelerates late (superlinear as
+    Ritz values converge), so an early fast segment means the back half may
+    be faster still (the advisor-flagged misprediction this rule closes)."""
+    from gpras_tpu.gp.exact_cg import gate_abort_decision
+
+    gate = 0.05
+    # stalled bias-region trial (measured shape: residuals O(1), ratios ~1)
+    stalled = [5.0, 4.8, 4.7, 4.6, 4.6]
+    assert gate_abort_decision(stalled, 4.6, 5, 16, gate)
+    # healthy decay, currently above gate: one 0.5x segment forbids abort
+    # even though the naive projection from later stalled segments would fire
+    healthy = [5.0, 2.5, 2.4, 2.3, 2.3]
+    assert not gate_abort_decision(healthy, 2.3, 5, 16, gate)
+    # too little history: never abort before 4 segments
+    assert not gate_abort_decision([5.0, 4.9], 4.9, 2, 16, gate)
+    # stalled but already projectable into the gate (rel close to gate and
+    # enough remaining budget at the best ratio): no abort
+    nearly = [0.5, 0.48, 0.46, 0.44, 0.42]
+    assert not gate_abort_decision(nearly, 0.42, 5, 32, gate)
+    # same history with almost no budget left: the outcome is decided
+    assert gate_abort_decision(nearly, 0.42, 30, 32, gate)
+
+
+def test_chunked_step_gate_abort_spares_healthy_decay():
+    """End-to-end: a solve with healthy (sub-0.9/segment) residual decay
+    runs its FULL budget even when the gate is unreachable — gate_abort no
+    longer mispredicts accelerating CG (it used to abort this exact solve).
+    The returned loss is the same +inf either way; production relies on
+    early_exit (not the abort) to stop frozen/converged solves."""
     from gpras_tpu.gp.exact_cg import make_cg_step_chunked
 
     n, d = 256, 3
@@ -432,4 +458,4 @@ def test_chunked_step_gate_abort_saves_segments():
     assert np.isposinf(float(v_full))
     assert np.isposinf(float(v_fast))
     assert full.last_segments == 16
-    assert fast.last_segments < 16
+    assert fast.last_segments == 16  # healthy decay: no abort

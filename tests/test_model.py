@@ -242,3 +242,62 @@ def test_warm_start_subsample_exact():
     # predictions still work end-to-end
     mean, var = warm.predict(x[:10])
     assert np.all(np.isfinite(mean)) and np.all(np.asarray(var) >= 0)
+
+
+def test_fit_exact_distributed_mesh_matches_single_chip():
+    """One-call distributed fit (mesh='auto' -> (4, 2) 2-D mesh on the 8
+    virtual devices) reaches the single-chip fit's loss and predictions —
+    the GPRAS.fit extension of the reference one-call contract
+    (gpras/gpr.py:237) over parallel/pexact."""
+    rng = np.random.default_rng(7)
+    n = 256
+    x = rng.normal(size=(n, 3))
+    base = np.sin(1.5 * x[:, 0]) + 0.4 * x[:, 1]
+    y = np.stack([base, base * 0.5 + 0.1], axis=1)
+    y += 0.05 * rng.normal(size=y.shape)
+    kw = dict(optimization_method="adam", max_iter=60, learning_rate=0.05)
+    single = GPRAS("RBF", model_type="exact", dtype=jnp.float64)
+    single.fit(x, y, **kw)
+    dist = GPRAS("RBF", model_type="exact", dtype=jnp.float64)
+    dist.fit(x, y, mesh="auto", **kw)
+    assert dist.fit_info["dist_engine"] == "dense"
+    assert tuple(dist.fit_info["dist_mesh_shape"]) == (4, 2)
+    l_s = np.asarray(single.fit_info["loss"]).ravel()
+    l_d = np.asarray(dist.fit_info["loss"]).ravel()
+    np.testing.assert_allclose(l_d, l_s, rtol=1e-5)
+    m_s, _ = single.predict(x[:16])
+    m_d, _ = dist.predict(x[:16])
+    np.testing.assert_allclose(m_d, m_s, rtol=1e-4, atol=1e-6)
+    # checkpoint format is unchanged by the distributed path
+    import tempfile, os
+    with tempfile.TemporaryDirectory() as td:
+        p = os.path.join(td, "m.npz")
+        dist.to_file(p)
+        back = GPRAS.from_file(p)
+        m_b, _ = back.predict(x[:16])
+        np.testing.assert_allclose(m_b, m_d, rtol=1e-6)
+
+
+def test_fit_exact_distributed_cg_engine():
+    """Forcing exact_engine='cg' with a 2-D mesh flattens to the 1-D
+    row-sharded matrix-free engine and still fits."""
+    rng = np.random.default_rng(8)
+    n = 256
+    x = rng.normal(size=(n, 2))
+    y = np.sin(x[:, 0]) + 0.1 * rng.normal(size=n)
+    m = GPRAS("Matern52", model_type="exact", exact_engine="cg",
+              dtype=jnp.float64)
+    m.fit(x, y, mesh="auto", optimization_method="adam", max_iter=25,
+          learning_rate=0.05, probes=4, cg_iters=24, precond_rank=0)
+    assert m.fit_info["dist_engine"] == "cg"
+    losses = np.asarray(m.fit_info["loss"]).ravel()
+    assert np.all(np.isfinite(losses))
+    mean, var = m.predict(x[:8])
+    assert np.all(np.isfinite(mean)) and np.all(np.asarray(var) >= 0)
+
+
+def test_fit_mesh_rejects_sparse_backend():
+    x, y = make_data()
+    m = GPRAS("RBF", dtype=jnp.float64)
+    with pytest.raises(ValueError, match="mesh-distributed"):
+        m.fit(x, y, n_inducing=M, mesh="auto")
