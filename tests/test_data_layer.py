@@ -46,6 +46,39 @@ def test_flow_file_parse_emit_fixpoint_synthetic():
     assert UnsteadyFlowFile.from_string(g.emit()).emit() == g.emit()
 
 
+CEDAR_U01 = str(Path(__file__).parent / "data" / "cedar_basin.u01")
+
+
+def test_flow_file_golden_cedar_basin():
+    """Golden round-trip on the OWNED committed fixture (a realistic
+    HEC-RAS 6.x unsteady-flow file, tests/data/make_flow_fixture.py) — the
+    strongest parser test no longer depends on an external checkout being
+    mounted. Parse -> emit reproduces the committed bytes EXACTLY."""
+    raw = Path(CEDAR_U01).read_bytes()
+    f = UnsteadyFlowFile.from_file(CEDAR_U01)
+    assert f.flow_title == "jun2003"
+    assert f.program_version == "6.50"
+    assert "Cedar Mill Pond" in f.file_description
+    assert len(f.initial_conditions.ics) == 4
+    assert all(ic.ic_type == "IC Point" for ic in f.initial_conditions.ics)
+    assert f.initial_conditions.ics[1].elevation == "538.2"
+    bcs = f.boundary_conditions.bcs
+    hydro = [b for b in bcs if isinstance(b, FlowHydrographBC)]
+    normal = [b for b in bcs if isinstance(b, NormalDepthBC)]
+    assert len(normal) == 1 and len(hydro) == 6
+    assert normal[0].friction_slope == "0.0035"
+    assert all("FLOW" in b.dss_path for b in hydro)
+    assert f.precip_mode == "Enable"
+    assert f.precipitation.get("Mode") == "Gridded"
+    assert "Excess_Precipitation.dss" in \
+        (f.precipitation.get("Gridded DSS Filename") or "")
+    observed = "\n".join(f.observed_time_series)
+    assert "Observed Time Series=Stage|TS DSS Pathname=" in observed
+    assert "Observed Time Series=Flow|TS Table Data Units=cfs" in observed
+    # parse -> emit is BYTE-IDENTICAL to the committed fixture (ASCII+CRLF)
+    assert f.emit().replace("\n", "\r\n").encode("ascii") == raw
+
+
 @pytest.mark.skipif(not os.path.exists(BRIDGEPORT_U01),
                     reason="reference data not mounted")
 def test_flow_file_parses_real_bridgeport():
