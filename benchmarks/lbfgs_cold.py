@@ -66,11 +66,19 @@ def main() -> dict:
     ls = int(os.environ.get("GPRAS_LBFGS_LS", "4" if big else "8"))
     mem = int(os.environ.get("GPRAS_LBFGS_MEM", "15"))
     patience = int(os.environ.get("GPRAS_LBFGS_PATIENCE", "10"))
+    # the committed cold numbers (134 s band entry at 49k, the 131k/262k
+    # honest fits) were measured on the easy DGP; GPRAS_BENCH_DGP=hard runs
+    # the round-4 headline problem (bench._make_data_hard)
+    dgp = os.environ.get("GPRAS_BENCH_DGP", "easy")
 
-    x, y = bench._make_data(n, 8, jnp.float32)
+    x, y = bench._make_data(n, 8, jnp.float32, dgp)
 
-    ref = json.loads(
-        (REPO / "benchmarks" / "convergence_reference.json").read_text())
+    ref_name = ("convergence_reference_hard.json" if dgp == "hard"
+                else "convergence_reference.json")
+    try:
+        ref = json.loads((REPO / "benchmarks" / ref_name).read_text())
+    except FileNotFoundError:
+        ref = {}
     l_star = float(ref["l_star"]) if int(ref.get("n", -1)) == n else None
 
     kwargs = dict(
@@ -116,6 +124,7 @@ def main() -> dict:
         plateau_at = int(ok[0]) + 1 if ok.size else None
     out = {
         "n": n,
+        "dgp": dgp,
         "engine": info["engine"],
         "iterations": int(info["iterations"]),
         "stopped_by": info["stopped_by"],

@@ -321,3 +321,60 @@ def make_minibatch_fit(kernel: str, batch_size: int, epochs: int,
         return params_out, hist
 
     return jax.jit(fit)
+
+
+def make_stream_fit(kernel: str, learning_rate: float = 0.01,
+                    optimizer=None, natgrad: float | None = None):
+    """Host-streamed trainer for archives that live OFF the device.
+
+    :func:`make_minibatch_fit` assumes x/y are device-resident (the fastest
+    path when they fit HBM). Production flood archives live in parquet on
+    the host, so the realistic bound includes host->device ingestion. This
+    returns ``(init, run_chunk)``:
+
+    - ``opt_state = init(params)``
+    - ``params, opt_state, losses = run_chunk(params, opt_state, xc, yc)``
+      where ``xc`` is (n_batches, B, D) and ``yc`` (n_batches, B, P) — one
+      pre-shuffled CHUNK of minibatches, shipped host->device as one
+      transfer and scanned through on device.
+
+    The caller streams chunks (`jax.device_put` of the next chunk while the
+    current one computes — dispatch is async, so transfers overlap compute
+    up to the interconnect's ability) and shuffles on the host, which is
+    where a parquet/Arrow reader would do it. ``n_total`` for the ELBO's
+    minibatch scaling must be passed per chunk via ``run_chunk``'s
+    ``n_total`` argument (the archive size, not the chunk size).
+
+    Same per-step math as :func:`make_minibatch_fit` (optional conjugate
+    NGD on q interleaved with Adam on hyperparameters), so the two trainers
+    walk identical trajectories given identical batch streams
+    (tests/test_svgp.py).
+    """
+    import optax
+
+    opt = optax.adam(learning_rate) if optimizer is None else optimizer
+    q_leaves = ("q_mu", "q_raw")
+
+    def init(params):
+        return opt.init(params)
+
+    @partial(jax.jit, static_argnums=(4,))
+    def run_chunk(params, opt_state, xc, yc, n_total: int):
+        def step(carry, batch):
+            p, s = carry
+            xb, yb = batch
+            if natgrad is not None:
+                p = natgrad_step(kernel, p, xb, yb, n_total, lr=natgrad)
+            loss, g = jax.value_and_grad(
+                lambda pp: training_loss(kernel, pp, xb, yb, n_total))(p)
+            if natgrad is not None:
+                g = {k: (jnp.zeros_like(v) if k in q_leaves else v)
+                     for k, v in g.items()}
+            updates, s = opt.update(g, s, p)
+            return (optax.apply_updates(p, updates), s), loss
+
+        (params, opt_state), losses = lax.scan(step, (params, opt_state),
+                                               (xc, yc))
+        return params, opt_state, losses
+
+    return init, run_chunk

@@ -405,16 +405,20 @@ def pallas_kmv(kernel: str, params: dict[str, Array], x1: Array,
                 rows.append(row_i)
             return (jnp.concatenate(rows, axis=0) + cacc)[:n1, :r]
         # sub-tile width of the covariance chunk (the scoped-VMEM driver:
-        # the (tile, sub) f32 tile + its bf16 hi/lo splits). sub=1024 is the
-        # measured-fast config for small grids; at nb >= 128 Mosaic's scoped
-        # allocation exceeds the 16 MB stack limit by 976 KB in loop-body
-        # contexts (measured at N=131k inside a traced-bound while body and
-        # at N=262k everywhere), and sub=512 fits (262k validated, 159.9 s
-        # cg stage; 131k cost of 512 is ~3.5%: 40.3 vs 38.9 s — paid for
-        # compile robustness: the 1024 config compiled at nb=128 only in
-        # some surrounding-loop contexts, which is not a property a fresh
-        # cache can rely on).
-        sub = 1024 if nb < 128 else 512
+        # the (tile, sub) f32 tile + its bf16 hi/lo splits, ~8 KB/column of
+        # scoped VMEM). sub=1024 is the measured-fast config for small
+        # grids; at nb >= 128 Mosaic's scoped allocation exceeds the 16 MB
+        # stack limit by 976 KB in loop-body contexts (measured at N=131k
+        # inside a traced-bound while body and at N=262k everywhere).
+        # sub=768 sheds ~2 MB of scoped VMEM — comfortably under the
+        # 976 KB overflow — and keeps most of 1024's fewer-chunk win
+        # (round-4 TPU measurement, docs/PERFORMANCE.md "cg-131k sub-tile":
+        # 512 cost 131k ~3.5% — 40.3 vs 38.9 s). GPRAS_KMV_SUB overrides
+        # for sweeps.
+        import os as _os
+
+        sub = int(_os.environ.get("GPRAS_KMV_SUB", "0")) or \
+            (1024 if nb < 128 else 768)
         # descending rows + clamped j-maps: see _kmv_sym_body's nb_desc note
         def _ip(i, j):
             return nb - 1 - i

@@ -166,3 +166,36 @@ def test_n_total_scaling_is_unbiased():
     # each part = scale*batch_loglik - KL; mean of parts = full
     np.testing.assert_allclose(np.mean(parts), full, rtol=1e-10)
     del kl
+
+
+def test_stream_fit_matches_minibatch_fit_on_same_batch_stream():
+    """make_stream_fit (host-streamed chunks) and make_minibatch_fit
+    (device-resident) walk identical trajectories when fed the same batch
+    order — the streaming trainer changes ingestion, not math."""
+    n, bsz, epochs = 128, 32, 3
+    x, y, z = make_data(n=n, m=8, seed=21)
+    params = svgp.init_params("RBF", x, z, noise_variance=0.3)
+
+    key = jax.random.PRNGKey(5)
+    fit = svgp.make_minibatch_fit("RBF", batch_size=bsz, epochs=epochs,
+                                  learning_rate=0.01, natgrad=0.5)
+    p_ref, hist_ref = fit(params, x, y, key)
+
+    # replicate the device shuffle on the host (same keys, same permutation)
+    init, run_chunk = svgp.make_stream_fit("RBF", learning_rate=0.01,
+                                           natgrad=0.5)
+    p, s = params, init(params)
+    y2 = y[:, None]
+    nb = n // bsz
+    losses = []
+    for k in jax.random.split(key, epochs):
+        perm = jax.random.permutation(k, n)[: nb * bsz]
+        xc = x[perm].reshape(nb, bsz, x.shape[-1])
+        yc = y2[perm].reshape(nb, bsz, 1)
+        p, s, ls = run_chunk(p, s, xc, yc, n)
+        losses.append(float(jnp.mean(ls)))
+
+    for a, b in zip(jax.tree.leaves(p_ref), jax.tree.leaves(p)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-5, atol=1e-7)
+    np.testing.assert_allclose(losses, np.asarray(hist_ref), rtol=1e-5)
