@@ -111,8 +111,10 @@ def main() -> dict:
 
     # --- 2. SVGP minibatch fit from standard init ---
     p0 = svgp.init_params(kernel, x, z, noise_variance=0.1)
+    # lr 0.01: the hyperparameter log-leaves must travel ~4-5 log-units
+    # (noise 0.1 -> ~0.0025) within epochs * (N/B) steps; NGD handles q
     fit = svgp.make_minibatch_fit(kernel, batch_size=b, epochs=epochs,
-                                  learning_rate=0.005, natgrad=0.5)
+                                  learning_rate=0.01, natgrad=0.5)
     t1 = time.perf_counter()
     p_fit, hist = fit(p0, x, y, jax.random.PRNGKey(1))
     svgp_loss = float(hist[-1])  # sync

@@ -64,7 +64,7 @@ from gpras_tpu.ops.block_cholesky import fit_block as _fit_panel  # canonical
 
 def kmv(kernel: str, params: dict[str, Array], x: Array, v: Array,
         noise: Array, row_panel: int = 4096,
-        precision: str = "high") -> Array:
+        precision: str = "high", sub: int | None = None) -> Array:
     """(K(x,x) + noise I) @ v without materializing K.
 
     v: (N, R). Returns (N, R). On TPU with a stationary kernel this is the
@@ -72,13 +72,18 @@ def kmv(kernel: str, params: dict[str, Array], x: Array, v: Array,
     built and contracted in VMEM, so HBM traffic is O(N (D + R)) instead of
     the XLA path's O(N^2) tile round-trip. Off-TPU / non-stationary falls
     back to a fori_loop over (panel, N) Gram tiles.
+
+    ``sub``: covariance sub-tile width forwarded to ``pallas_kmv`` — only
+    pass a non-default in contexts MEASURED to compile (see the scoped-VMEM
+    note there; sub=1024 at nb=128 is safe in static-fori monolithic
+    programs but not in traced-bound while bodies).
     """
     n = x.shape[0]
     if n >= 2048 and kernel in K.STATIONARY_KERNELS and \
             x.dtype == jnp.float32 and jax.devices()[0].platform == "tpu":
         from gpras_tpu.ops.pallas_gram import pallas_kmv
 
-        return pallas_kmv(kernel, params, x, v, noise=noise)
+        return pallas_kmv(kernel, params, x, v, noise=noise, sub=sub)
     p = _fit_panel(n, row_panel)
     n_panels = n // p
 
@@ -405,8 +410,12 @@ def make_cg_nlml(kernel: str, probes: int = 16, max_iters: int = 32,
             pinv, logdet_p = None, 0.0
             z = jax.random.rademacher(key, (n, probes), dtype=x.dtype)
         b = jnp.concatenate([y[:, None], z], axis=1)
+        # static-fori monolithic program: the one context measured to
+        # compile the fast sub=1024 covariance chunk at nb=128 (131k) —
+        # 38.7 s vs 40.3 s for the conservative default (round-4 sweep)
+        kmv_sub = 1024 if n <= 131072 else None
         mv = lambda v: kmv(kernel, params, x, v, total_noise, row_panel,
-                           precision)
+                           precision, sub=kmv_sub)
         carry, rz0, stop2 = _mbcg_init(b, max_iters, 1e-6,
                                        pinv if pinv is not None
                                        else (lambda v: v))

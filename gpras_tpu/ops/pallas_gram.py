@@ -62,12 +62,15 @@ def _tile_value(kernel: str, a, b, variance, noise,
         else:
             raise ValueError(kernel)
     if square:
-        # fused noise/jitter diagonal: global element ids
+        # fused noise/jitter diagonal via broadcast 1-D iotas (two full
+        # (tile_m, tile_n) i32 iotas cost 8 MB of scoped VMEM at 1024² —
+        # see _kmv_sym_body's note): rows==cols ⇔ r - c == j*tn - i*tm
         i = pl.program_id(0)
         j = pl.program_id(1)
-        rows = i * tile_m + jax.lax.broadcasted_iota(jnp.int32, (tile_m, tile_n), 0)
-        cols = j * tile_n + jax.lax.broadcasted_iota(jnp.int32, (tile_m, tile_n), 1)
-        k = jnp.where(rows == cols, k + noise, k)
+        r1 = jax.lax.broadcasted_iota(jnp.int32, (tile_m, 1), 0)
+        c1 = jax.lax.broadcasted_iota(jnp.int32, (1, tile_n), 1)
+        k = k + noise * (r1 == c1 + (j * tile_n - i * tile_m)).astype(
+            jnp.float32)
     return k
 
 
@@ -123,11 +126,12 @@ def _kmv_body(kernel: str, a_ref, b_ref, v_ref, var_ref, noise_ref, out_ref,
         b_sub = b_ref[c0:c0 + cw, :]
         k = _tile_value(kernel, a, b_sub, var, 0.0, tile_m, cw, False)
         if square:
-            rows = i * tile_m + jax.lax.broadcasted_iota(
-                jnp.int32, (tile_m, cw), 0)
-            cols = j * tile_n + c0 + jax.lax.broadcasted_iota(
-                jnp.int32, (tile_m, cw), 1)
-            k = jnp.where(rows == cols, k + noise, k)
+            # diagonal indicator from broadcast 1-D iotas (not two full
+            # (tile_m, cw) i32 iotas — see _kmv_sym_body's scoped-VMEM note)
+            r1 = jax.lax.broadcasted_iota(jnp.int32, (tile_m, 1), 0)
+            c1 = jax.lax.broadcasted_iota(jnp.int32, (1, cw), 1)
+            off = j * tile_n + c0 - i * tile_m
+            k = k + noise * (r1 == c1 + off).astype(jnp.float32)
         v_sub = v[c0:c0 + cw, :]
         k_hi = k.astype(jnp.bfloat16)
         k_lo = (k - k_hi.astype(jnp.float32)).astype(jnp.bfloat16)
@@ -222,12 +226,16 @@ def _kmv_sym_body(kernel: str, a_ref, b_ref, vj_ref, vi_ref, var_ref,
             cw = min(sub, tile - c0)
             b_sub = b_ref[c0:c0 + cw, :]
             k = _tile_value(kernel, a, b_sub, var, 0.0, tile, cw, False)
-            # global ids coincide only inside the diagonal tile (i == j)
-            rows = i * tile + jax.lax.broadcasted_iota(
-                jnp.int32, (tile, cw), 0)
-            cols = j * tile + c0 + jax.lax.broadcasted_iota(
-                jnp.int32, (tile, cw), 1)
-            k = jnp.where(rows == cols, k + noise, k)
+            # global ids coincide only inside the diagonal tile (i == j):
+            # rows==cols ⇔ r - c == (j - i)*tile + c0. Build the indicator
+            # from broadcast 1-D iotas — two full (tile, cw) i32 iotas cost
+            # ~8 MB of scoped VMEM at sub=1024, which is what pushed
+            # Mosaic's 16 MB stack over by 976 KB at nb >= 128 and forced
+            # the slower sub=512 config (round-4 fix).
+            r1 = jax.lax.broadcasted_iota(jnp.int32, (tile, 1), 0)
+            c1 = jax.lax.broadcasted_iota(jnp.int32, (1, cw), 1)
+            off = (j - i) * tile + c0
+            k = k + noise * (r1 == c1 + off).astype(jnp.float32)
             # bf16_3x split of the tile, shared by both contractions
             k_hi = k.astype(jnp.bfloat16)
             k_lo = (k - k_hi.astype(jnp.float32)).astype(jnp.bfloat16)
@@ -322,7 +330,7 @@ def pallas_kmv(kernel: str, params: dict[str, Array], x1: Array,
                v: Array, x2: Array | None = None,
                noise: Array | None = None, interpret: bool = False,
                tile_m: int = 1024, tile_n: int = 1024,
-               sym: bool | None = None) -> Array:
+               sym: bool | None = None, sub: int | None = None) -> Array:
     """Fused (K(x1, x2) + noise I) @ v — the covariance tile never leaves VMEM.
 
     The matrix-free CG engine's matvec (gp/exact_cg.py) is bandwidth-bound
@@ -365,6 +373,7 @@ def pallas_kmv(kernel: str, params: dict[str, Array], x1: Array,
     nz = (jnp.zeros((), jnp.float32) if noise is None
           else jnp.asarray(noise, jnp.float32)).reshape(1, 1)
 
+    sub_req = sub
     if sym is None:
         sym = square and tile_m == tile_n and (m_p // tile_m) >= 8
     if sym:
@@ -405,20 +414,23 @@ def pallas_kmv(kernel: str, params: dict[str, Array], x1: Array,
                 rows.append(row_i)
             return (jnp.concatenate(rows, axis=0) + cacc)[:n1, :r]
         # sub-tile width of the covariance chunk (the scoped-VMEM driver:
-        # the (tile, sub) f32 tile + its bf16 hi/lo splits, ~8 KB/column of
-        # scoped VMEM). sub=1024 is the measured-fast config for small
-        # grids; at nb >= 128 Mosaic's scoped allocation exceeds the 16 MB
-        # stack limit by 976 KB in loop-body contexts (measured at N=131k
-        # inside a traced-bound while body and at N=262k everywhere).
-        # sub=768 sheds ~2 MB of scoped VMEM — comfortably under the
-        # 976 KB overflow — and keeps most of 1024's fewer-chunk win
-        # (round-4 TPU measurement, docs/PERFORMANCE.md "cg-131k sub-tile":
-        # 512 cost 131k ~3.5% — 40.3 vs 38.9 s). GPRAS_KMV_SUB overrides
-        # for sweeps.
+        # the (tile, sub) f32 covariance tile, its elementwise temporaries,
+        # and the bf16 hi/lo splits — ~17 MB at sub=1024, ~8.5 MB at 512).
+        # sub=1024 is the measured-fast config (round-4 same-session sweep
+        # at 131k: 1024 -> 38.7-38.9 s, 512 -> 40.3 s, 768 -> 41.8 s — the
+        # 768+256 chunk split wastes the MXU), but Mosaic's scoped-VMEM
+        # stack (16 MB) rejects it by ~1 MB at nb >= 128 in traced-bound
+        # while bodies and at nb >= 256 everywhere (measured at 131k/262k;
+        # re-measured round 4 after shrinking the diagonal-mask iotas —
+        # the overflow is the covariance chunk itself, not the mask). The
+        # AUTO policy is therefore conservative; callers in measured-safe
+        # contexts (static-fori monolithic losses at nb <= 128, e.g.
+        # gp/exact_cg.make_cg_nlml) pass ``sub=1024`` explicitly.
+        # GPRAS_KMV_SUB overrides everything for sweeps.
         import os as _os
 
-        sub = int(_os.environ.get("GPRAS_KMV_SUB", "0")) or \
-            (1024 if nb < 128 else 768)
+        sub = int(_os.environ.get("GPRAS_KMV_SUB", "0")) or sub_req or \
+            (1024 if nb < 128 else 512)
         # descending rows + clamped j-maps: see _kmv_sym_body's nb_desc note
         def _ip(i, j):
             return nb - 1 - i
