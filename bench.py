@@ -515,11 +515,36 @@ def bench_converged_fit(n: int, d: int = 8, dgp: str = "hard") -> dict:
     cert = jax.jit(lambda pp: h_loss(pp, x, y, jax.random.PRNGKey(0)))
     if not np.isfinite(float(cert(params0))):  # compile/load, discarded
         raise RuntimeError("non-finite certification warmup loss")
+    # Conditioning-envelope transfer clamp: the f32 factorization of the
+    # full-N Gram is feasible only while kappa ~ n*var/noise stays inside
+    # the f32 envelope, and a rung SUBSAMPLE over-inflates the variance
+    # along the flat var-vs-nuisance-lengthscale NLML ridge. Measured at
+    # 49k (round 4): the 4096-pt rung lands at var/noise = 88 where the
+    # full-N loss is non-finite (and stays non-finite under ANY
+    # nuisance-lengthscale clip down to e^2 — the ratio, not the
+    # lengthscales, is the wall), while the full-N cold fit CONVERGES at
+    # var/noise = 47 with zero rejected steps, its own rule firing right
+    # at the envelope. The transfer clamps the rung variance to
+    # ratio_cap * noise — the measured converged operating point — leaving
+    # every other parameter untouched; the full-N cert at the clamped rung
+    # lands ~70 nats above L* (outside the 21-nat band, so the headline
+    # still times real full-N polish steps), vs NaN unclamped.
+    ratio_cap = float(os.environ.get("GPRAS_BENCH_WARM_RATIO_CAP", "50"))
+
+    def transfer(pp: dict) -> dict:
+        pp = dict(pp)
+        pp["log_variance"] = jnp.minimum(
+            pp["log_variance"],
+            pp["log_noise_variance"]
+            + jnp.asarray(math.log(ratio_cap), x.dtype))
+        return pp
+
     t0 = time.perf_counter()
     p_a = params0
     for fit_a in stages:
         p_a, info_a = fit_a(p_a)
         int(info_a["iterations"])
+    p_a = transfer(p_a)
     warm_s = time.perf_counter() - t0
     out["warm_ladder"] = ladder
     # Stop-band half-width: patience*tol*|L*| — the stopping rule's OWN
@@ -536,22 +561,32 @@ def bench_converged_fit(n: int, d: int = 8, dgp: str = "hard") -> dict:
     t0 = time.perf_counter()
     cert_val = float(cert(p_a))
     cert_s = time.perf_counter() - t0
-    if cert_val <= l_star + band:
+    if cert_val <= l_star + band:  # NaN compares False: falls through
         hit, polish_steps, polish_best = cert_s, 0, cert_val
         out["band_certified_by"] = "forward_nlml_eval"
     else:
-        polish_s, polish_steps, polish_best, hit, _ = run_to(
-            p_a, stop_loss=l_star, band=band, max_iter=200)
+        try:
+            polish_s, polish_steps, polish_best, hit, _ = run_to(
+                p_a, stop_loss=l_star, band=band, max_iter=200)
+        except RuntimeError:
+            # warm params outside the f32 feasibility envelope even after
+            # the transfer clip: no warm-started number exists. Reported
+            # honestly; the headline falls back to the cold fit below.
+            hit, polish_steps, polish_best = None, -1, cert_val
+            out["band_certified_by"] = "warm_start_infeasible"
+        else:
+            out["band_certified_by"] = "polish_steps"
         if hit is not None:
             hit += cert_s  # the failed certification is part of the clock
-        out["band_certified_by"] = "polish_steps"
     out["warmstart_seconds"] = round(warm_s, 3)
-    out["warmstarted_final_loss"] = round(polish_best, 2)
+    if np.isfinite(polish_best):
+        out["warmstarted_final_loss"] = round(polish_best, 2)
     # Optional: run the warm-started fit to TRUE rule convergence (the cold
     # fit's ARD tail usually outlives the step cap; the warm-started one
     # plateaued by the reference rule at step 346 at 49k — measured round 2).
     # Default off for the driver budget; committed values reported as _ref.
-    if os.environ.get("GPRAS_BENCH_RULE_CONVERGENCE", "0") == "1":
+    if os.environ.get("GPRAS_BENCH_RULE_CONVERGENCE", "0") == "1" \
+            and np.isfinite(polish_best):
         r_s, r_steps, r_best, _, r_plateaued = run_to(p_a, max_iter=500)
         out.update({
             "warmstarted_rule_converged_seconds": round(warm_s + r_s, 3),

@@ -99,6 +99,15 @@ def main() -> dict:
     path = REPO / "benchmarks" / "convergence_reference_hard.json"
     path.write_text(json.dumps(out, indent=2) + "\n")
     print(json.dumps(out))
+    # The capture is only a valid headline reference if the warm start had
+    # to take timed full-N polish steps to enter the band (the whole point
+    # of the hard DGP). The file is written first for forensics.
+    if out["capture_band_certified_by"] != "polish_steps" \
+            or (out["capture_fit_to_convergence_polish_steps"] or 0) <= 0:
+        raise SystemExit(
+            "capture invalid: band entry did not require full-N polish "
+            f"steps (certified_by={out['capture_band_certified_by']!r}, "
+            f"polish_steps={out['capture_fit_to_convergence_polish_steps']})")
     return out
 
 
