@@ -374,18 +374,23 @@ def bench_converged_fit(n: int, d: int = 8, dgp: str = "hard") -> dict:
     max_steps = int(os.environ.get("GPRAS_BENCH_MAX_STEPS", "600"))
     x, y = _make_data(n, d, jnp.float32, dgp)
     params0 = exact.init_params(kernel, x, noise_variance=0.1)
-    opt = optax.adam(lr)
-    step = _make_robust_step(kernel, x, y, n, opt)
+    opt_ref = optax.adam(lr)
+    step_ref = _make_robust_step(kernel, x, y, n, opt_ref)
 
-    def run_to(params, stop_loss=None, band=0.0, max_iter=max_steps):
+    def run_to(params, stop_loss=None, band=0.0, max_iter=max_steps,
+               step=None, opt=None):
         """Host loop with the reference stopping rule; returns
         (seconds, steps, best_loss, hit_seconds_or_None, plateaued).
         ``band``: absolute one-sided stop-band width above ``stop_loss``.
+        ``step``/``opt`` default to the reference-rule Adam(lr) pair from
+        the enclosing scope (the polish stage may pass its own).
 
         The warmup step (executable compile/load) runs on a THROWAWAY copy of
         the initial state and is discarded, so every real optimization step —
         including the first — is inside the timed region and checked against
         the stop band."""
+        step = step_ref if step is None else step
+        opt = opt_ref if opt is None else opt
         opt_state = opt.init(params)
         good_p, good_opt = params, opt_state
         key = jax.random.PRNGKey(0)
@@ -492,10 +497,37 @@ def bench_converged_fit(n: int, d: int = 8, dgp: str = "hard") -> dict:
     log_floor = math.log(float(os.environ.get("GPRAS_BENCH_NOISE_FLOOR",
                                               "1e-4")))
 
+    # Rung optimizer (GPRAS_BENCH_WARM_OPT): "adam" replays the reference
+    # rule on the subsample (early-stops by tol/patience, cap 1000); "lbfgs"
+    # runs the jitted zoom-linesearch L-BFGS on the same dense rung loss —
+    # the rung only has to produce good transfer params, and L-BFGS reaches
+    # the rung plateau in ~2 orders of magnitude fewer steps.
+    warm_opt = os.environ.get("GPRAS_BENCH_WARM_OPT", "adam")
+
     def make_stage(n_s: int):
         stride = max(1, n // n_s)
         x_sub, y_sub = x[::stride], y[::stride]
         a_loss = lambda pp: exact.training_loss(kernel, pp, x_sub, y_sub)
+        if warm_opt == "lbfgs":
+            # floor the noise INSIDE the loss (lbfgs_fit has no projection
+            # hook; an unfloored 4096-pt dense fit can drive noise below the
+            # f32 Cholesky feasibility and NaN the linesearch)
+            def fl_loss(pp):
+                pp = dict(pp)
+                pp["log_noise_variance"] = jnp.maximum(
+                    pp["log_noise_variance"],
+                    jnp.asarray(log_floor, x.dtype))
+                return a_loss(pp)
+
+            def rung(pp):
+                p_out, info = fitters.lbfgs_fit(fl_loss, pp, max_iter=200)
+                p_out = dict(p_out)
+                p_out["log_noise_variance"] = jnp.maximum(
+                    p_out["log_noise_variance"],
+                    jnp.asarray(log_floor, x.dtype))
+                return p_out, info
+
+            return jax.jit(rung)
         return jax.jit(lambda pp: fitters.adam_fit(
             a_loss, pp, max_iter=1000, learning_rate=lr,
             lower_bounds={"log_noise_variance": log_floor},
@@ -565,9 +597,21 @@ def bench_converged_fit(n: int, d: int = 8, dgp: str = "hard") -> dict:
         hit, polish_steps, polish_best = cert_s, 0, cert_val
         out["band_certified_by"] = "forward_nlml_eval"
     else:
+        # Polish-only Adam rate (GPRAS_BENCH_POLISH_LR): the cold-fit lr is
+        # pinned by the committed L* protocol, but the polish stage starts
+        # from near-converged warm params where a hotter rate closes the
+        # last tens of nats in fewer full-N steps. Defaults to lr (bitwise
+        # round-1..4 continuity).
+        polish_lr = float(os.environ.get("GPRAS_BENCH_POLISH_LR", str(lr)))
+        if polish_lr != lr:
+            opt_p = optax.adam(polish_lr)
+            step_p = _make_robust_step(kernel, x, y, n, opt_p)
+            polish_kw = {"step": step_p, "opt": opt_p}  # run_to warms it up
+        else:
+            polish_kw = {}
         try:
             polish_s, polish_steps, polish_best, hit, _ = run_to(
-                p_a, stop_loss=l_star, band=band, max_iter=200)
+                p_a, stop_loss=l_star, band=band, max_iter=200, **polish_kw)
         except RuntimeError:
             # warm params outside the f32 feasibility envelope even after
             # the transfer clip: no warm-started number exists. Reported

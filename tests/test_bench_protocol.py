@@ -76,3 +76,17 @@ def test_hard_dgp_multiscale_structure():
     # nuisance dims carry no signal: correlation at noise level
     for j in range(3, 8):
         assert abs(np.corrcoef(x[:, j], y)[0, 1]) < 0.05
+
+
+def test_lbfgs_rung_and_polish_lr_knobs(tiny_env):
+    """GPRAS_BENCH_WARM_OPT=lbfgs swaps the rung optimizer for the jitted
+    zoom-linesearch L-BFGS (noise floored inside the loss) and
+    GPRAS_BENCH_POLISH_LR gives the polish stage its own Adam rate; both
+    must drive the standard certify-then-polish flow to a finite result."""
+    tiny_env.setenv("GPRAS_BENCH_WARM_OPT", "lbfgs")
+    tiny_env.setenv("GPRAS_BENCH_POLISH_LR", "0.05")
+    res = bench.bench_converged_fit(512, dgp="hard")
+    assert res["band_certified_by"] in ("forward_nlml_eval", "polish_steps",
+                                        "warm_start_infeasible")
+    assert np.isfinite(res["warmstarted_final_loss"])
+    assert res["warmstart_seconds"] > 0
