@@ -12,6 +12,16 @@ sin(2 x0) + 0.5 tanh(x1 x2) + 0.05 eps in 8-D):
    those hyperparameters is computed over the FULL N (svgp.optimal_q — one
    (M, N) whitened projection, no AD, ~2 GB at M=512/N=2^20; Titsias: this
    is exactly the SGPR posterior).
+
+   CAVEAT (VERDICT r4 weak #6): this gold is HANDICAPPED — its
+   hyperparameters see only the 65k subsample while SVGP's see the full
+   archive, so "SVGP beats the gold" partly measures that handicap.
+   GPRAS_SVGP_GOLD_CG=1 adds the UNHANDICAPPED anchor: hyperparameters
+   from an honest full-N matrix-free cg fit (gp/coldfit.fit_exact —
+   residual-gated, preconditioned, host-linesearch L-BFGS) at
+   GPRAS_SVGP_GOLD_CG_N=131,072 points — a size the exact ladder can
+   audit — then the same collapsed-optimal posterior over the full N
+   (``gold131k_*`` fields).
 2. SVGP: gp/svgp.make_minibatch_fit from standard init (conjugate NGD on q
    at lr 0.5 + Adam on hyperparameters), GPRAS_SVGP_ACC_EPOCHS epochs
    (default 8) over the full device-resident archive.
@@ -132,6 +142,40 @@ def main() -> dict:
     def cov2(mu, sd):
         return float(np.mean(np.abs(y_h - mu) <= 2.0 * sd))
 
+    # --- optional unhandicapped gold: full-N cg-fit hyperparameters ---
+    gold_cg: dict = {}
+    if os.environ.get("GPRAS_SVGP_GOLD_CG", "0") == "1":
+        from gpras_tpu.gp.coldfit import fit_exact
+
+        n_cg = min(n, int(os.environ.get("GPRAS_SVGP_GOLD_CG_N", "131072")))
+        t2 = time.perf_counter()
+        p_cg, info_cg = fit_exact(kernel, x[:n_cg], y[:n_cg],
+                                  max_iter=int(os.environ.get(
+                                      "GPRAS_SVGP_GOLD_CG_ITERS", "40")),
+                                  stop_decrease=float(os.environ.get(
+                                      "GPRAS_SVGP_GOLD_CG_STOP", "25")))
+        p_cg_q = {
+            "z": z,
+            "q_mu": jnp.zeros((m, 1), jnp.float32),
+            "q_raw": jnp.zeros((1, m, m), jnp.float32),
+            **{k: jnp.asarray(v) for k, v in p_cg.items()},
+        }
+        p_cg_q = opt_q(p_cg_q)
+        cg_mu, cg_var = svgp.predict(kernel, p_cg_q, x_t)
+        cg_mu_h = np.asarray(cg_mu)
+        cg_sd_h = np.sqrt(np.asarray(cg_var))
+        gold_cg = {
+            "gold131k_n_fit": n_cg,
+            "gold131k_rmse_f": round(rmse(cg_mu_h, f_h), 5),
+            "gold131k_rmse_y": round(rmse(cg_mu_h, y_h), 5),
+            "gold131k_coverage_2sd": round(cov2(cg_mu_h, cg_sd_h), 4),
+            "gold131k_fit_seconds": round(time.perf_counter() - t2, 1),
+            "gold131k_stopped_by": str(info_cg.get("stopped_by")),
+            "gold131k_noise_sigma": round(float(np.exp(
+                0.5 * np.asarray(p_cg["log_noise_variance"]))), 5),
+            "svgp_vs_gold131k_mean_rmse": round(rmse(svgp_mu_h, cg_mu_h), 5),
+        }
+
     out = {
         "n": n, "m": m, "n_test": n_test, "n_sub": n_sub, "epochs": epochs,
         "kernel": kernel,
@@ -149,6 +193,7 @@ def main() -> dict:
         "gold_total_seconds": round(t_gold, 1),
         "svgp_fit_seconds": round(t_svgp, 1),
         "platform": jax.devices()[0].platform,
+        **gold_cg,
     }
     print(json.dumps(out))
     return out

@@ -35,7 +35,7 @@ import numpy as np
 
 from gpras_tpu.fit import optimizers as fitters
 from gpras_tpu.gp import exact as exact_gp
-from gpras_tpu.gp import sgpr, svgp
+from gpras_tpu.gp import sgpr, svgp, warmstart
 from gpras_tpu.ops import kernels as K
 from gpras_tpu.ops import kmeans as km
 from gpras_tpu.ops import linalg
@@ -123,6 +123,7 @@ class GPRAS:
         self.dtype = dtype
         self.params: dict[str, Array] | None = None  # batched: leading axis = mode
         self.fit_info: dict[str, Array] | None = None
+        self.warm_start_info: dict[str, Any] | None = None
         self.x: Array | None = None
         self.y: Array | None = None
         self.n_inducing: int = 0
@@ -174,6 +175,18 @@ class GPRAS:
         where the cold fit had not converged by 600 — subsampled
         hyperparameter surfaces are near-identical at a fraction of the
         per-step cost (docs/PERFORMANCE.md).
+
+        The float32 transfer is routed through the warm-start protocol
+        (gp/warmstart.py): the rung's kernel variance is clamped to
+        ``warm_ratio_cap`` x noise (default 50 — the measured f32
+        feasibility envelope at 49k; a subsample over-inflates the variance
+        along the flat var-vs-nuisance-lengthscale NLML ridge and an
+        unclamped transfer NaNs the full-N factorization), then ONE forward
+        NLML evaluation per mode certifies the clamped parameters, halving
+        the cap until feasible or falling back to standard init for that
+        mode. ``self.warm_start_info`` records the per-mode caps/cert
+        losses. The full-N fit from the certified parameters is the polish
+        stage — it stops by the reference's own early-stop rule.
         """
         if self.model_type in ("sgpr", "svgp") and n_inducing <= 0:
             raise ValueError("sparse backends require n_inducing > 0 "
@@ -205,6 +218,9 @@ class GPRAS:
         self._hutch_loss = None
         self._lean_loss = None
 
+        warm_ratio_cap = float(opt_kwargs.pop(
+            "warm_ratio_cap", warmstart.DEFAULT_RATIO_CAP))
+        self.warm_start_info = None
         if (warm_start_subsample > 0 and self.model_type == "exact"
                 and initial_params is None
                 and self.x.shape[0] >= 2 * warm_start_subsample):
@@ -218,6 +234,19 @@ class GPRAS:
             warm.fit(self.x[::stride], self.y[::stride],
                      optimization_method=optimization_method, **opt_kwargs)
             initial_params = warm.params
+            if jnp.dtype(self.dtype) == jnp.float32:
+                # f32 conditioning-envelope transfer: clamp + certify the
+                # rung params against the FULL-N loss before polishing
+                # (gp/warmstart.py docstring has the measured failure mode)
+                fallback = jax.tree.map(
+                    lambda leaf: jnp.broadcast_to(
+                        leaf, (p_modes,) + leaf.shape),
+                    self._init_params(inducing_initializer))
+                initial_params, self.warm_start_info = \
+                    warmstart.certify_transfer_batched(
+                        lambda p, i: self._loss_fn(p, self.y[:, i]),
+                        initial_params, fallback,
+                        ratio_cap=warm_ratio_cap)
 
         if initial_params is not None:
             lead = jax.tree.leaves(initial_params)[0].shape[0]
