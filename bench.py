@@ -327,7 +327,8 @@ def bench_exact_fit(n: int, steps: int = 10, d: int = 8) -> float:
     return elapsed
 
 
-def bench_converged_fit(n: int, d: int = 8, dgp: str = "hard") -> dict:
+def bench_converged_fit(n: int, d: int = 8, dgp: str = "hard",
+                        data=None) -> dict:
     """Converged exact-GP fit at ``n`` under the reference's own early-stop
     semantics (rel-tol 1e-5 / patience 50, gpras/gpr.py:162-173): a
     hierarchical warm-started fit timed into the rule's tolerance band
@@ -384,7 +385,11 @@ def bench_converged_fit(n: int, d: int = 8, dgp: str = "hard") -> dict:
     lr = float(os.environ.get("GPRAS_BENCH_LR", "0.02"))
     tol, patience = 1e-5, 50
     max_steps = int(os.environ.get("GPRAS_BENCH_MAX_STEPS", "600"))
-    x, y = _make_data(n, d, jnp.float32, dgp)
+    # ``data``: preloaded (x, y) for sweep harnesses — host->device
+    # transfers through the relay can cost minutes in degraded windows, so
+    # a multi-config sweep transfers the seeded problem ONCE
+    # (benchmarks/headline_sweep.py)
+    x, y = data if data is not None else _make_data(n, d, jnp.float32, dgp)
     params0 = exact.init_params(kernel, x, noise_variance=0.1)
     opt_ref = optax.adam(lr)
     step_ref = _make_robust_step(kernel, x, y, n, opt_ref)

@@ -145,15 +145,18 @@ def main() -> dict:
     # --- optional unhandicapped gold: full-N cg-fit hyperparameters ---
     gold_cg: dict = {}
     if os.environ.get("GPRAS_SVGP_GOLD_CG", "0") == "1":
-        from gpras_tpu.gp.coldfit import fit_exact
+        from gpras_tpu.gp.coldfit import CG_THRESHOLD, fit_exact
 
         n_cg = min(n, int(os.environ.get("GPRAS_SVGP_GOLD_CG_N", "131072")))
         t2 = time.perf_counter()
+        # noise-plateau stop is a host-linesearch CG-path knob; tiny-N CPU
+        # smokes fall below CG_THRESHOLD and use the plateau rule instead
+        stop_dec = (float(os.environ.get("GPRAS_SVGP_GOLD_CG_STOP", "25"))
+                    if n_cg >= CG_THRESHOLD else None)
         p_cg, info_cg = fit_exact(kernel, x[:n_cg], y[:n_cg],
                                   max_iter=int(os.environ.get(
                                       "GPRAS_SVGP_GOLD_CG_ITERS", "40")),
-                                  stop_decrease=float(os.environ.get(
-                                      "GPRAS_SVGP_GOLD_CG_STOP", "25")))
+                                  stop_decrease=stop_dec)
         p_cg_q = {
             "z": z,
             "q_mu": jnp.zeros((m, 1), jnp.float32),
