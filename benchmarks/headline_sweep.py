@@ -38,6 +38,32 @@ CONFIGS = [
      "GPRAS_BENCH_POLISH_LR": "0.08"},      # polish change only
     {"GPRAS_BENCH_WARM_OPT": "lbfgs", "GPRAS_BENCH_WARM_LADDER": "4096",
      "GPRAS_BENCH_POLISH_LR": "0.05"},      # mid polish rate
+    # round-2 sweep: map the neighborhood of the 7.74 s winner (config 3)
+    {"GPRAS_BENCH_WARM_OPT": "lbfgs", "GPRAS_BENCH_WARM_LADDER": "2048",
+     "GPRAS_BENCH_POLISH_LR": ""},          # 6: rung-size effect alone
+    {"GPRAS_BENCH_WARM_OPT": "adam", "GPRAS_BENCH_WARM_LADDER": "2048",
+     "GPRAS_BENCH_POLISH_LR": "0.08"},      # 7: adam small rung + hot polish
+    {"GPRAS_BENCH_WARM_OPT": "lbfgs", "GPRAS_BENCH_WARM_LADDER": "2048",
+     "GPRAS_BENCH_POLISH_LR": "0.05"},      # 8: winner, mid polish
+    {"GPRAS_BENCH_WARM_OPT": "lbfgs", "GPRAS_BENCH_WARM_LADDER": "3072",
+     "GPRAS_BENCH_POLISH_LR": "0.08"},      # 9: mid rung size
+    {"GPRAS_BENCH_WARM_OPT": "lbfgs", "GPRAS_BENCH_WARM_LADDER": "1024",
+     "GPRAS_BENCH_POLISH_LR": "0.08"},      # 10: below the 2048 floor?
+    # round-3 sweep: refine around the 6.89 s adam-2048 + 0.08 winner.
+    # NOTE each config lists EVERY knob it or any sibling sets ("" = pop to
+    # default) — the harness mutates os.environ between configs.
+    {"GPRAS_BENCH_WARM_OPT": "adam", "GPRAS_BENCH_WARM_LADDER": "2048",
+     "GPRAS_BENCH_POLISH_LR": "0.12", "GPRAS_BENCH_WARM_LR": "",
+     "GPRAS_BENCH_WARM_ITERS": ""},         # 11: hotter polish
+    {"GPRAS_BENCH_WARM_OPT": "adam", "GPRAS_BENCH_WARM_LADDER": "1024",
+     "GPRAS_BENCH_POLISH_LR": "0.08", "GPRAS_BENCH_WARM_LR": "",
+     "GPRAS_BENCH_WARM_ITERS": ""},         # 12: smaller adam rung
+    {"GPRAS_BENCH_WARM_OPT": "adam", "GPRAS_BENCH_WARM_LADDER": "2048",
+     "GPRAS_BENCH_POLISH_LR": "0.08", "GPRAS_BENCH_WARM_LR": "0.05",
+     "GPRAS_BENCH_WARM_ITERS": "500"},      # 13: hot short rung
+    {"GPRAS_BENCH_WARM_OPT": "adam", "GPRAS_BENCH_WARM_LADDER": "2048",
+     "GPRAS_BENCH_POLISH_LR": "0.08", "GPRAS_BENCH_WARM_LR": "",
+     "GPRAS_BENCH_WARM_ITERS": "1500"},     # 14: longer rung, fewer polish?
 ]
 
 
