@@ -90,3 +90,18 @@ def test_lbfgs_rung_and_polish_lr_knobs(tiny_env):
                                         "warm_start_infeasible")
     assert np.isfinite(res["warmstarted_final_loss"])
     assert res["warmstart_seconds"] > 0
+
+
+def test_round5_warm_defaults_and_instrumentation(tiny_env):
+    """The round-5 hard-DGP warm defaults (adam rung lr 0.05 capped at 500
+    iterations — the swept winner, docs/PERFORMANCE.md round-5 sweep) are
+    observable through the instrumentation fields, and the rung honors the
+    iteration cap."""
+    tiny_env.setenv("GPRAS_BENCH_WARM_ITERS", "7")
+    res = bench.bench_converged_fit(512, dgp="hard")
+    assert res["warm_rung_iterations"] == [7]  # cap honored + field emitted
+    assert res["certification_seconds"] >= 0
+    # easy-DGP continuity: rung still runs under the reference rule's cap
+    tiny_env.delenv("GPRAS_BENCH_WARM_ITERS")
+    res_e = bench.bench_converged_fit(512, dgp="easy")
+    assert res_e["warm_rung_iterations"][0] <= 1000
