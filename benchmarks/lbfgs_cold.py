@@ -87,15 +87,26 @@ def main() -> dict:
         if big and "GPRAS_BENCH_CG_PROBES" in os.environ else None,
         cg_iters=int(os.environ.get("GPRAS_BENCH_CG_ITERS", "256")),
         seg_iters=int(os.environ.get("GPRAS_BENCH_CG_SEG", "16")),
+        # N=524,288 (round 5): the init eval is solver-gated at the 256-it
+        # budget (CG needs ~sqrt(N) more iterations than 262k) — the honest
+        # scale-out is a deeper budget and/or a stronger pivoted-Cholesky
+        # preconditioner, both strictly-better numerics
+        precond_rank=int(os.environ.get("GPRAS_BENCH_CG_RANK", "128")),
         host_linesearch=bool(int(os.environ["GPRAS_LBFGS_HOSTLS"]))
         if "GPRAS_LBFGS_HOSTLS" in os.environ else None,
         stop_decrease=float(os.environ["GPRAS_LBFGS_STOP_DEC"])
         if "GPRAS_LBFGS_STOP_DEC" in os.environ else None,
     )
 
-    # warmup on a throwaway copy: compile/load only (one chunk program)
-    _ = fit_exact("Matern52", x, y, max_iter=1, chunk=1, **kwargs)
-    print(f"# warmup ok (N={n})", file=sys.stderr)
+    # warmup on a throwaway copy: compile/load only (one chunk program).
+    # GPRAS_LBFGS_SKIP_WARMUP=1 skips it when the persistent compile cache
+    # is known-hot for these exact shapes (at N>=524k the "warmup" is a full
+    # L-BFGS iteration of ~20-min evaluations, not a compile formality;
+    # iteration 1 of the timed fit then additionally carries the cached
+    # executable LOAD, which is seconds)
+    if os.environ.get("GPRAS_LBFGS_SKIP_WARMUP", "0") != "1":
+        _ = fit_exact("Matern52", x, y, max_iter=1, chunk=1, **kwargs)
+        print(f"# warmup ok (N={n})", file=sys.stderr)
 
     t0 = time.perf_counter()
 
