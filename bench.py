@@ -1253,26 +1253,6 @@ def main() -> None:
                 raise
             except Exception as e:
                 print(f"# e2e bench failed: {e}", file=sys.stderr)
-        # Engine-family regression canaries, in their OWN child with their
-        # own budget (VERDICT r4 items 1b + 5). Disable with
-        # GPRAS_BENCH_CANARY=0.
-        if os.environ.get("GPRAS_BENCH_CANARY", "1") == "1" \
-                and remaining() > 60:
-            try:
-                proc = subprocess.run(
-                    [sys.executable, os.path.abspath(__file__), "--canary"],
-                    capture_output=True, text=True, timeout=sub_timeout())
-                for line in proc.stdout.splitlines():
-                    if line.startswith("CANARY "):
-                        result.update(json.loads(line[len("CANARY "):]))
-                        break
-                else:
-                    print(f"# canary child printed no CANARY line: "
-                          f"{proc.stderr[-200:]}", file=sys.stderr)
-            except _Deadline:
-                raise
-            except Exception as e:
-                print(f"# canary stage failed: {e}", file=sys.stderr)
         # Secondary capability point: the matrix-free CG engine at 131,072 —
         # beyond any factorization's HBM ceiling (the matrix would be 64 GB).
         # Measured in-run (cached compile ~30 s warm); disable with
@@ -1320,6 +1300,29 @@ def main() -> None:
                 raise
             except Exception as e:  # never fail the headline for the extra
                 print(f"# svgp extra failed: {e}", file=sys.stderr)
+        # Engine-family regression canaries, in their OWN child with their
+        # own budget (VERDICT r4 items 1b + 5). Runs AFTER the cheap
+        # cg-131k/svgp stages: the cold canary's dense 3-iteration fit costs
+        # ~25 s in a quiet relay window but was measured at 447 s in a
+        # degraded one (round-5 capture), and it must not starve stages with
+        # hard value targets. Disable with GPRAS_BENCH_CANARY=0.
+        if os.environ.get("GPRAS_BENCH_CANARY", "1") == "1" \
+                and remaining() > 60:
+            try:
+                proc = subprocess.run(
+                    [sys.executable, os.path.abspath(__file__), "--canary"],
+                    capture_output=True, text=True, timeout=sub_timeout())
+                for line in proc.stdout.splitlines():
+                    if line.startswith("CANARY "):
+                        result.update(json.loads(line[len("CANARY "):]))
+                        break
+                else:
+                    print(f"# canary child printed no CANARY line: "
+                          f"{proc.stderr[-200:]}", file=sys.stderr)
+            except _Deadline:
+                raise
+            except Exception as e:
+                print(f"# canary stage failed: {e}", file=sys.stderr)
         # SVGP accuracy + host-streamed ingestion throughput: the committed
         # measurements (benchmarks/svgp_accuracy_reference.json — held-out
         # RMSE/coverage vs the collapsed-SGPR gold at N=2^20, and the
